@@ -1,0 +1,21 @@
+"""Test harness: run everything on CPU with 8 virtual devices.
+
+This is the idiomatic JAX replacement for the reference's
+device-placement-string multi-GPU tests (reference
+deployment/model_deploy_test.py): multi-chip sharding logic is exercised for
+real on a virtual 8-device host mesh (SURVEY.md section 4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+# The env var alone is not enough in this image (the session exports
+# JAX_PLATFORMS=axon and the plugin wins); force it through the config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

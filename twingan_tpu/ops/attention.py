@@ -1,0 +1,138 @@
+"""SAGAN self-attention core: softmax(f g^T) h over N = H*W spatial positions.
+
+Reference parity: /root/reference/libs/self_attention.py:24-70. The 1x1
+convolutions producing f (tanh, C/8), g (tanh, C/8) and h (C) live in the
+Flax layer; this module computes the N^2 attention itself.
+
+TPU design: the dense N x N score matrix is the only quadratic op in the
+framework (SURVEY.md section 5.7). Two paths:
+
+- ``attention_core``: plain einsum. XLA tiles the batched matmuls onto the
+  MXU; fine up to N = 64^2 = 4096 (the default self_attention_hw).
+- ``flash_attention_core``: a blockwise Pallas kernel (flash-attention style,
+  no N^2 materialization in HBM) for the 512px stretch config where N can be
+  16k+. Forward in Pallas; backward recomputes with the einsum path (exact
+  same math, cheap relative to the conv stack).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pltpu is only importable with a TPU-capable jaxlib; guard for CPU tests.
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def attention_core(f: jax.Array, g: jax.Array, h: jax.Array) -> jax.Array:
+    """o[b,i,:] = sum_j softmax_j(f[b,i] . g[b,j]) h[b,j].
+
+    f, g: [B, N, C_bar]; h: [B, N, C]. Accumulates in fp32 on the MXU.
+    """
+    scores = jnp.einsum("bic,bjc->bij", f, g, preferred_element_type=jnp.float32)
+    beta = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bij,bjc->bic", beta.astype(h.dtype), h, preferred_element_type=jnp.float32)
+    return o.astype(h.dtype)
+
+
+def _flash_kernel(f_ref, g_ref, h_ref, o_ref, *, block_k: int, n: int):
+    """One (batch, q-block) program: stream over key blocks with online softmax."""
+    f = f_ref[0].astype(jnp.float32)  # [block_q, c_bar]
+    block_q = f.shape[0]
+    c = h_ref.shape[-1]
+    num_k = n // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        g_blk = g_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        h_blk = h_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        scale = jnp.exp(m_prev - m_new)
+        l_new = l_prev * scale + jnp.sum(p, axis=-1)
+        acc = acc * scale[:, None] + jnp.dot(p, h_blk, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    init = (
+        jnp.full((block_q,), -jnp.inf, jnp.float32),
+        jnp.zeros((block_q,), jnp.float32),
+        jnp.zeros((block_q, c), jnp.float32),
+    )
+    _, l_final, acc = lax.fori_loop(0, num_k, body, init)
+    o_ref[0] = (acc / l_final[:, None]).astype(o_ref.dtype)
+
+
+def _flash_forward(f, g, h, block_q: int, block_k: int):
+    b, n, c_bar = f.shape
+    c = h.shape[-1]
+    grid = (b, n // block_q)
+    # Pallas compiles only on TPU; interpret mode keeps CPU tests exact.
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, n=n),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c_bar), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, n, c_bar), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+        interpret=interpret,
+    )(f, g, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_core(
+    f: jax.Array, g: jax.Array, h: jax.Array, block_q: int = 256, block_k: int = 512
+) -> jax.Array:
+    """Blockwise (flash) attention; exact same math as ``attention_core``."""
+    return _flash_forward(f, g, h, block_q, block_k)
+
+
+def _flash_fwd(f, g, h, block_q, block_k):
+    return _flash_forward(f, g, h, block_q, block_k), (f, g, h)
+
+
+def _flash_bwd(block_q, block_k, res, do):
+    # Recompute-based exact backward via the einsum formulation. The attention
+    # op is a tiny fraction of total train FLOPs (one layer, C/8 head dim), so
+    # recompute keeps HBM traffic minimal without a handwritten bwd kernel.
+    f, g, h = res
+    _, vjp = jax.vjp(attention_core, f, g, h)
+    return vjp(do)
+
+
+flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def self_attention(
+    f: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    *,
+    use_flash: bool | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jax.Array:
+    """Dispatch between the einsum and Pallas paths.
+
+    f/g/h are the flattened [B, N, C'] projections. By default the Pallas
+    kernel is used on TPU when N is large enough to both fill a block and
+    benefit from avoiding the N^2 HBM round-trip.
+    """
+    n = f.shape[1]
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = on_tpu and pltpu is not None and n >= 4096 and n % max(block_q, block_k) == 0
+    if use_flash:
+        return flash_attention_core(f, g, h, block_q, block_k)
+    return attention_core(f, g, h)

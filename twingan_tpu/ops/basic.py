@@ -1,0 +1,121 @@
+"""Elementary pure-function ops for the PGGAN family of models.
+
+All image tensors are NHWC. Every function is dtype-polymorphic and traceable
+under jit; randomness is threaded through explicit PRNG keys.
+
+Reference behavior (cited for parity, re-designed for TPU):
+- leaky_relu:        /root/reference/util_misc.py:68-86 (alpha=0.2 default).
+- pixel_norm:        /root/reference/nets/pggan_utils.py:330-331.
+- equalized lr:      /root/reference/nets/pggan_utils.py:236-254 (He-constant
+                     runtime input scaling; weights are init N(0,1)).
+- minibatch_stddev:  /root/reference/nets/pggan_utils.py:353-366.
+- gdrop:             /root/reference/libs/gdrop.py:20-38.
+- up/downsample:     /root/reference/nets/pggan_utils.py:349-350 and the
+                     tf.nn.avg_pool 2x2 calls in nets/pggan.py:274,306,436.
+- num_channels:      /root/reference/nets/pggan_utils.py:369-372.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def leaky_relu(x: jax.Array, alpha: float = 0.2) -> jax.Array:
+    """Leaky ReLU, max(alpha*x, x). The default activation of every conv/fc."""
+    return jnp.maximum(x * jnp.asarray(alpha, x.dtype), x)
+
+
+def pixel_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Pixelwise feature-vector normalization over the channel axis (PGGAN)."""
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * lax.rsqrt(ms + jnp.asarray(eps, x.dtype))
+
+
+def equalized_lr_scale(fan_in: int, kernel_size: int = 1) -> float:
+    """He-init constant applied at runtime for equalized learning rate.
+
+    With weights drawn from N(0, 1), multiplying the layer *input* by
+    sqrt(2 / (fan_in * k^2)) is equivalent to He-scaled weights while keeping
+    per-parameter learning rates uniform.
+    """
+    return math.sqrt(2.0 / (fan_in * kernel_size * kernel_size))
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsample of an NHWC tensor.
+
+    Implemented with reshape+broadcast instead of gather so XLA lowers it to
+    a cheap layout change that fuses with the following conv.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 average pool (VALID), NHWC."""
+    return lax.reduce_window(
+        x, jnp.asarray(0, x.dtype), lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * jnp.asarray(0.25, x.dtype)
+
+
+# The PGGAN MS-SSIM/eval code uses the same 2x2 box filter; alias it.
+box_downsample_2x = avg_pool_2x
+
+
+def minibatch_stddev(x: jax.Array, eps: float | None = None) -> jax.Array:
+    """Concatenate the across-minibatch stddev as one constant feature map.
+
+    Matches the reference: stddev over the batch axis per (h, w, c) location,
+    then the mean of those stddevs becomes a single scalar tiled to
+    [batch, H, W, 1] and concatenated on channels. The reference tiles to a
+    hard-coded 4x4 because it is only used on the 4x4 discriminator block; we
+    tile to the actual spatial shape.
+    """
+    if eps is None:
+        eps = 1e-8 if x.dtype == jnp.float32 else 1e-6
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+    std = jnp.sqrt(var + jnp.asarray(eps, x.dtype))
+    scalar = jnp.mean(std)
+    b, h, w, _ = x.shape
+    tiled = jnp.full((b, h, w, 1), scalar, dtype=x.dtype)
+    return jnp.concatenate([x, tiled], axis=-1)
+
+
+def gdrop(
+    key: jax.Array, x: jax.Array, strength: jax.Array | float, mode: str = "prop"
+) -> jax.Array:
+    """Generalized multiplicative noise dropout from PGGAN.
+
+    'prop' mode: x * (1 + strength*sqrt(C)*N(0,1)) with noise broadcast over
+    (batch, channel) — one sample per (example, channel) pair.
+    """
+    if mode != "prop":
+        raise ValueError(f"unsupported gdrop mode: {mode}")
+    b, _, _, c = x.shape
+    coef = jnp.asarray(strength, x.dtype) * jnp.asarray(math.sqrt(c), x.dtype)
+    rnd = jax.random.normal(key, (b, 1, 1, c), dtype=x.dtype)
+    return x * (rnd * coef + jnp.asarray(1, x.dtype))
+
+
+def blend(new: jax.Array, old: jax.Array, alpha: jax.Array | float) -> jax.Array:
+    """Fade-in blend used during PGGAN growth: new*alpha + (1-alpha)*old."""
+    alpha = jnp.asarray(alpha, new.dtype)
+    return new * alpha + (1 - alpha) * old
+
+
+def num_channels(stage: int, max_channels: int) -> int:
+    """PGGAN channel schedule: min(1024 / 2**stage, max_channels)."""
+    return int(min(1024 // (2**stage), max_channels))
+
+
+def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Differentiable bilinear resize of an NHWC tensor."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, height, width, c), method="bilinear")

@@ -1,0 +1,54 @@
+"""Spectral normalization via power iteration (functional core).
+
+Reference parity: /root/reference/libs/sn.py:38-101. The reference keeps a
+persistent ``u`` vector per weight and runs one power iteration on every
+forward pass (updating ``u`` in place even at inference — warned about at
+sn.py:80-82). Here the iteration is explicit state: the layer passes the old
+``u`` in and receives the new one, updated once per optimization step, which
+is the mathematically intended behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-12
+
+
+def _l2norm(v: jax.Array) -> jax.Array:
+    return v * lax.rsqrt(jnp.sum(jnp.square(v)) + _EPS)
+
+
+def power_iteration(
+    w_mat: jax.Array, u: jax.Array, num_iters: int = 1
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One (or more) rounds of power iteration on a [in, out] matrix.
+
+    Returns (sigma, new_u, v). All gradient-stopped: sigma enters the forward
+    pass as a constant scale, matching the reference's stop-gradient placement.
+    """
+    w_mat = lax.stop_gradient(w_mat)
+    v = None
+    for _ in range(num_iters):
+        v = _l2norm(u @ w_mat.T)  # [in]
+        u = _l2norm(v @ w_mat)  # [out]
+    sigma = jnp.einsum("i,io,o->", v, w_mat, u)
+    return sigma, u, v
+
+
+def spectral_normalize(
+    w: jax.Array, u: jax.Array, num_iters: int = 1, update: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Normalize an arbitrary-rank weight by its largest singular value.
+
+    ``w`` is reshaped to [prod(leading dims), out_channels] like the
+    reference. ``u`` has shape [out_channels]. Returns (w / sigma, new_u);
+    new_u equals u when update=False (inference).
+    """
+    out_ch = w.shape[-1]
+    w_mat = w.reshape(-1, out_ch)
+    sigma, new_u, _ = power_iteration(w_mat.astype(jnp.float32), u, num_iters)
+    w_sn = w / jnp.maximum(sigma, _EPS).astype(w.dtype)
+    return w_sn, (new_u if update else u)
