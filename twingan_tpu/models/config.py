@@ -1,0 +1,91 @@
+"""Static model configuration (replaces the reference's global tf.flags).
+
+The reference wires ~20 structural flags through arg_scopes
+(/root/reference/nets/pggan.py:24-60, pggan_utils.py:54-127). Here they are
+one frozen dataclass carried by each Flax module; a new stage/resolution means
+a new config + re-jit, replacing TF1 graph surgery (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+NORM_TYPES = ("none", "batch_norm", "instance_norm", "batch_renorm", "layer_norm")
+
+
+@dataclasses.dataclass(frozen=True)
+class PGGANConfig:
+    """Everything static about a PGGAN generator/discriminator/encoder stack.
+
+    One config describes one growth stage; the runner builds a sequence of
+    configs with doubling ``resolution`` and alternating ``is_growing``.
+    """
+
+    resolution: int = 4               # output (and input-image) height/width
+    is_growing: bool = False          # fade-in stage (PGGAN sec. 3)
+    image_channels: int = 3
+
+    # Channel schedule: min(1024 / 2**stage, max_channels).
+    max_channels: int = 256
+    max_channels_dis: int | None = None  # discriminator override
+
+    # Normalization (generator + encoder; discriminator uses none).
+    norm_type: str = "batch_norm"     # none|batch_norm|instance_norm|batch_renorm|layer_norm
+    do_pixel_norm: bool = False
+    sync_batch_norm_axis: str | None = None  # mesh axis name for synced BN
+
+    # Weight treatment.
+    equalized_lr: bool = False
+    spectral_norm: bool = False                  # discriminator convs/fcs
+    spectral_norm_in_non_discriminator: bool = False
+    init_stddev: float = 0.02
+
+    # Structure.
+    use_res_block: bool = False
+    use_larger_filter_at_rgb_layer: bool = False
+    do_self_attention: bool = False
+    self_attention_hw: int = 64
+    unet_max_concat_hw: int | None = None
+
+    # Domain-adaptive norm banks (TwinGAN '_s'/'_t' postfixes). Norm params
+    # and statistics are per-domain; conv/fc weights are shared.
+    num_domains: int = 1
+
+    # Conditional norms: beta/gamma produced by an FC of a style embedding
+    # (MUNIT-style). 0 disables.
+    style_dim: int = 0
+
+    # Compute dtype for activations (params always fp32).
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.norm_type not in NORM_TYPES:
+            raise ValueError(f"unknown norm_type {self.norm_type!r}")
+        if self.resolution < 4 or self.resolution & (self.resolution - 1):
+            raise ValueError("resolution must be a power of two >= 4")
+        if self.is_growing and self.resolution == 4:
+            raise ValueError("the 4x4 stage cannot be growing")
+
+    @property
+    def max_stage(self) -> int:
+        """hw=4 -> 0, hw=8 -> 1, ... (reference nets/pggan.py:126)."""
+        import math
+
+        return int(math.log2(self.resolution)) - 2
+
+    @property
+    def dis_max_channels(self) -> int:
+        return self.max_channels_dis or self.max_channels
+
+    def channels(self, stage: int, discriminator: bool = False) -> int:
+        limit = self.dis_max_channels if discriminator else self.max_channels
+        return int(min(1024 // (2**stage), limit))
+
+    @property
+    def noise_dim(self) -> int:
+        """Latent dim = channels at stage 1 (reference pggan.get_noise_shape)."""
+        return self.channels(1)
+
+    def replace(self, **kw) -> "PGGANConfig":
+        return dataclasses.replace(self, **kw)
