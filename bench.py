@@ -1,0 +1,83 @@
+"""Headline benchmark: 256px human->anime translation throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the north star is >= 5000 imgs/sec on a v4-8 (8 chips) for 256px
+inference (BASELINE.md), i.e. 625 imgs/sec/chip; vs_baseline is measured
+throughput / 625. The reference itself runs batch-1 sess.run inference
+(/root/reference/inference/image_translation_infer.py:92) with no published
+throughput number.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 5000.0 / 8.0  # north-star imgs/sec/chip
+
+
+def main() -> None:
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.models.pggan import Encoder, Generator
+
+    cfg = PGGANConfig(
+        resolution=256,
+        max_channels=256,
+        norm_type="batch_norm",
+        equalized_lr=True,
+        do_pixel_norm=True,
+        num_domains=2,
+        dtype="bfloat16",
+    )
+    enc, gen = Encoder(cfg), Generator(cfg)
+    batch = 64
+    images = jnp.asarray(np.random.RandomState(0).rand(batch, 256, 256, 3).astype(np.float32))
+    enc_vars = enc.init(jax.random.PRNGKey(0), images[:1], domain=0)
+    code, skips = enc.apply(enc_vars, images[:1], domain=0)
+    gen_vars = gen.init(jax.random.PRNGKey(1), code, domain=1, unet_skips=skips)
+
+    @jax.jit
+    def translate(enc_vars, gen_vars, images):
+        code, skips = enc.apply(enc_vars, images, domain=0)
+        out, _ = gen.apply(gen_vars, code, domain=1, unet_skips=skips)
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    # Warmup / compile.
+    translate(enc_vars, gen_vars, images).block_until_ready()
+
+    # Measurement protocol: distinct input per iteration, and force a real
+    # 4-byte host fetch (scalar sum) each iteration. On the axon backend
+    # block_until_ready alone is a no-op until the first host fetch (lazy
+    # dispatch batching), which over-reports throughput by ~300x.
+    iters = 12
+    inputs = [
+        jnp.asarray(np.random.RandomState(i + 1).rand(batch, 256, 256, 3).astype(np.float32))
+        for i in range(iters)
+    ]
+    float(jnp.sum(translate(enc_vars, gen_vars, inputs[0])))  # flush the queue
+    times = []
+    for im in inputs:
+        t0 = time.perf_counter()
+        float(jnp.sum(translate(enc_vars, gen_vars, im)))
+        times.append(time.perf_counter() - t0)
+    imgs_per_sec = batch / float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": "256px_translate_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Train-step smoke tests: losses, alternation semantics, gdrop schedule.
+
+The reference has zero trainer tests (SURVEY.md section 4 'notably
+untested'); these are the 1-step-end-to-end smoke tests on synthetic data it
+lacked.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.train.losses import (
+    GanLossConfig,
+    discriminator_gan_loss,
+    generator_gan_loss,
+    gradient_penalty,
+)
+from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        model=PGGANConfig(resolution=8, max_channels=16),
+        batch_size=4,
+        opt=__import__("twingan_tpu.train.optimizers", fromlist=["OptimizerConfig"]).OptimizerConfig(
+            learning_rate=1e-3
+        ),
+    )
+    defaults.update(kw)
+    return GanTrainerConfig(**defaults)
+
+
+def synthetic_batch(seed=0, n=4, res=8):
+    rng = np.random.RandomState(seed)
+    return {"target": jnp.asarray(rng.rand(n, res, res, 3).astype(np.float32))}
+
+
+class TestLossLibrary:
+    def test_sigmoid_ce_matches_tf_semantics(self):
+        logits = jnp.asarray([[-2.0], [0.0], [3.0]])
+        cfg = GanLossConfig(architecture="gan")
+        g = generator_gan_loss(cfg, logits)
+        expected = np.mean(np.log1p(np.exp(-np.asarray([-2.0, 0.0, 3.0]))))
+        np.testing.assert_allclose(float(g), expected, rtol=1e-5)
+
+    def test_wgan_losses(self):
+        cfg = GanLossConfig(architecture="wgan", wgan_drift_loss_weight=0.1)
+        fake = jnp.asarray([[1.0], [3.0]])
+        real = jnp.asarray([[2.0], [4.0]])
+        assert float(generator_gan_loss(cfg, fake)) == pytest.approx(-2.0)
+        d = discriminator_gan_loss(cfg, fake, real)
+        assert float(d["discriminator_loss"]) == pytest.approx(2.0 - 3.0)
+        assert float(d["discriminator_drift_loss"]) == pytest.approx(0.1 * 10.0)
+
+    def test_hinge_losses(self):
+        cfg = GanLossConfig(architecture="hinge")
+        fake = jnp.asarray([[0.5], [-2.0]])
+        real = jnp.asarray([[0.5], [2.0]])
+        d = discriminator_gan_loss(cfg, fake, real)
+        assert float(d["discriminator_loss"]) == pytest.approx(1.5 / 2 + 0.5 / 2)
+
+    def test_gradient_penalty_linear_dis(self):
+        # For D(x) = sum(x), grad norm = sqrt(num_pixels) everywhere, so
+        # GP = lambda * (sqrt(N)-1)^2 exactly.
+        cfg = GanLossConfig(architecture="wgan_gp", gradient_penalty_lambda=10.0)
+        real = jnp.zeros((2, 2, 2, 1))
+        fake = jnp.ones((2, 2, 2, 1))
+        gp = gradient_penalty(cfg, jax.random.PRNGKey(0), lambda x: jnp.sum(x, axis=(1, 2, 3)), real, fake)
+        np.testing.assert_allclose(float(gp), 10.0 * (2.0 - 1.0) ** 2, rtol=1e-5)
+
+    def test_dragan_penalty_runs(self):
+        cfg = GanLossConfig(architecture="dragan")
+        real = jnp.asarray(np.random.RandomState(0).rand(4, 4, 4, 3).astype(np.float32))
+        gp = gradient_penalty(cfg, jax.random.PRNGKey(1), lambda x: jnp.sum(x**2, axis=(1, 2, 3)), real, None)
+        assert np.isfinite(float(gp))
+
+
+class TestGanTrainer:
+    @pytest.mark.parametrize("arch", ["gan", "dragan", "wgan", "wgan_gp", "hinge"])
+    def test_one_round_all_architectures(self, arch):
+        cfg = small_cfg(loss=GanLossConfig(architecture=arch))
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batches = [synthetic_batch(i) for i in range(cfg.n_critic)]
+        state, metrics = trainer.round_step(state, batches, jax.random.PRNGKey(1))
+        assert int(state.step) == 1
+        assert int(state.critic_step) == cfg.n_critic
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+
+    def test_g_step_only_touches_generator(self):
+        trainer = GanTrainer(small_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        # The step donates its input state; snapshot to host first.
+        g_old = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["generator"])]
+        d_old = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["discriminator"])]
+        new_state, _ = trainer.g_step(state, synthetic_batch(), jax.random.PRNGKey(1))
+        g_new = jax.tree_util.tree_leaves(new_state.params["generator"])
+        d_new = jax.tree_util.tree_leaves(new_state.params["discriminator"])
+        assert any(not np.allclose(a, b) for a, b in zip(g_old, g_new))
+        assert all(np.array_equal(a, b) for a, b in zip(d_old, d_new))
+        assert int(new_state.step) == 1
+
+    def test_d_step_only_touches_discriminator(self):
+        trainer = GanTrainer(small_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        g_old = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["generator"])]
+        d_old = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["discriminator"])]
+        new_state, _ = trainer.d_step(state, synthetic_batch(), jax.random.PRNGKey(1))
+        g_new = jax.tree_util.tree_leaves(new_state.params["generator"])
+        d_new = jax.tree_util.tree_leaves(new_state.params["discriminator"])
+        assert all(np.array_equal(a, b) for a, b in zip(g_old, g_new))
+        assert any(not np.allclose(a, b) for a, b in zip(d_old, d_new))
+        assert int(new_state.step) == 0  # global step only moves on G updates
+
+    def test_multi_round_losses_finite_and_sample(self):
+        cfg = small_cfg(loss=GanLossConfig(architecture="dragan"))
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        for r in range(3):
+            batches = [synthetic_batch(seed=10 * r + i) for i in range(cfg.n_critic)]
+            state, metrics = trainer.round_step(state, batches, jax.random.PRNGKey(r))
+            assert np.isfinite(float(metrics["generator_loss"]))
+            assert np.isfinite(float(metrics["discriminator_loss"]))
+        from twingan_tpu.models.pggan import noise_shape
+
+        img = trainer.sample(state, jnp.zeros(noise_shape(cfg.model, 2)))
+        assert img.shape == (2, 8, 8, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_growing_stage_step(self):
+        cfg = small_cfg(
+            model=PGGANConfig(resolution=16, is_growing=True, max_channels=16),
+            max_steps=100,
+        )
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = synthetic_batch(res=16)
+        state, gm = trainer.g_step(state, batch, jax.random.PRNGKey(1))
+        state, dm = trainer.d_step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(gm["generator_loss"]))
+        assert np.isfinite(float(dm["discriminator_loss"]))
+        assert 0.0 <= float(gm["alpha"]) <= 1.0
+
+    def test_gdrop_strength_updates(self):
+        cfg = small_cfg(use_gdrop=True)
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        # Before step 100, coef is gated to 0 -> strength stays 0.
+        state, m = trainer.g_step(state, synthetic_batch(), jax.random.PRNGKey(1))
+        assert float(m["gdrop_strength"]) == 0.0
+        # Force past the gate with a large EMA.
+        state = state.replace(step=jnp.asarray(200), gen_loss_ema=jnp.asarray(0.9))
+        state, m = trainer.g_step(state, synthetic_batch(), jax.random.PRNGKey(2))
+        assert float(m["gdrop_strength"]) > 0.0
+
+    def test_ttur_uses_separate_lr(self):
+        cfg = small_cfg(use_ttur=True, discriminator_learning_rate=0.5)
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        d_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["discriminator"])]
+        s1, _ = trainer.d_step(state, synthetic_batch(), jax.random.PRNGKey(1))
+        # Huge D lr must move D params much more than default lr would.
+        delta = np.max(
+            [
+                np.max(np.abs(a - np.asarray(b)))
+                for a, b in zip(
+                    d_before, jax.tree_util.tree_leaves(s1.params["discriminator"])
+                )
+            ]
+        )
+        assert delta > 0.01
+
+    def test_batch_renorm_training(self):
+        cfg = small_cfg(model=PGGANConfig(resolution=8, max_channels=16, norm_type="batch_renorm"))
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, m = trainer.g_step(state, synthetic_batch(), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["generator_loss"]))
+        flat = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(state.model_state["generator"])[0]
+        }
+        weights = [v for k, v in flat.items() if "renorm_mean_weight" in k]
+        assert weights and all(float(w) > 0 for w in weights)

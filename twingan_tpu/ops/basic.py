@@ -58,10 +58,13 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 
 def avg_pool_2x(x: jax.Array) -> jax.Array:
-    """2x2 stride-2 average pool (VALID), NHWC."""
-    return lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) * jnp.asarray(0.25, x.dtype)
+    """2x2 stride-2 average pool (VALID), NHWC.
+
+    Reshape+mean instead of reduce_window: reverse-differentiable and lowers
+    to a pure layout/reduce pair that XLA fuses with neighbors.
+    """
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
 
 
 # The PGGAN MS-SSIM/eval code uses the same 2x2 box filter; alias it.

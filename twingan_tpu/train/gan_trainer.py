@@ -1,0 +1,271 @@
+"""Plain image-generation GAN trainer (reference image_generation.py GanModel).
+
+One trainer instance is bound to one growth stage (a static PGGANConfig); the
+stage runner re-instantiates + re-jits per stage and migrates the state
+pytree (the TPU replacement for TF1 graph rebuild + lenient restore).
+
+Step structure: the reference ticks one `n_critic_counter` per session.run and
+applies G when counter % n_critic == 0, else D — while *computing* both
+gradient sets every step inside tf.cond (image_generation.py:587-662). Here
+G-steps and D-steps are separate jitted functions, so each step computes only
+the gradients it applies; `round_step` fuses one G + (n_critic-1) D updates
+into a single compiled unit for on-device step loops. Semantics preserved:
+global step advances only on G updates; gdrop strength follows the
+generator-loss EMA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.models.pggan import Discriminator, Generator, noise_shape
+from twingan_tpu.ops import renorm_clipping_schedule
+from twingan_tpu.train.losses import (
+    GanLossConfig,
+    discriminator_gan_loss,
+    generator_gan_loss,
+    gradient_penalty,
+)
+from twingan_tpu.train.optimizers import OptimizerConfig, build_optimizer
+from twingan_tpu.train.state import GanTrainState, apply_model, init_model, update_gdrop_state
+
+GEN = "generator"
+DIS = "discriminator"
+
+
+@dataclasses.dataclass(frozen=True)
+class GanTrainerConfig:
+    model: PGGANConfig = dataclasses.field(default_factory=PGGANConfig)
+    loss: GanLossConfig = dataclasses.field(default_factory=GanLossConfig)
+    opt: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    batch_size: int = 16
+    n_critic: int = 2
+    use_ttur: bool = False
+    discriminator_learning_rate: float = 0.0004
+    # gdrop (PGGAN discriminator noise, reference flags use_gdrop/gdrop_*).
+    use_gdrop: bool = False
+    gdrop_coef: float = 0.2
+    gdrop_lim: float = 0.5
+    gdrop_exp: float = 2.0
+    # Fade-in schedule: alpha = (step - grow_start) / (max_steps - grow_start).
+    grow_start_step: int = 0
+    max_steps: int = 300000
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class GanTrainer:
+    """Builds models/optimizers for one stage and exposes jitted steps."""
+
+    def __init__(self, cfg: GanTrainerConfig):
+        self.cfg = cfg
+        self.gen = Generator(cfg.model)
+        self.dis = Discriminator(cfg.model, do_gdrop=cfg.use_gdrop)
+        self.gen_tx = build_optimizer(cfg.opt)
+        d_opt_cfg = (
+            cfg.opt.replace(learning_rate=cfg.discriminator_learning_rate)
+            if cfg.use_ttur
+            else cfg.opt
+        )
+        self.dis_tx = build_optimizer(d_opt_cfg)
+
+    # ------------------------------------------------------------------ #
+    # Initialization
+    # ------------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array) -> GanTrainState:
+        cfg = self.cfg
+        kg, kd, kn = jax.random.split(rng, 3)
+        z = jnp.zeros(noise_shape(cfg.model, cfg.batch_size), jnp.float32)
+        img = jnp.zeros(
+            (cfg.batch_size, cfg.model.resolution, cfg.model.resolution, cfg.model.image_channels),
+            jnp.float32,
+        )
+        gen_params, gen_state = init_model(self.gen, kg, z, alpha=0.0)
+        dis_params, dis_state = init_model(
+            self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}
+        )
+        params = {GEN: gen_params, DIS: dis_params}
+        model_state = {GEN: gen_state, DIS: dis_state}
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            critic_step=jnp.zeros((), jnp.int32),
+            params=params,
+            model_state=model_state,
+            gen_opt_state=self.gen_tx.init(gen_params),
+            dis_opt_state=self.dis_tx.init(dis_params),
+            gdrop_strength=jnp.zeros((), jnp.float32),
+            gen_loss_ema=jnp.zeros((), jnp.float32),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Shared forward helpers
+    # ------------------------------------------------------------------ #
+    def _alpha(self, step: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        if not cfg.model.is_growing:
+            return jnp.float32(0)
+        denom = max(cfg.max_steps - cfg.grow_start_step, 1)
+        return (step - cfg.grow_start_step).astype(jnp.float32) / denom
+
+    def _renorm_clip(self, step: jax.Array) -> Optional[dict]:
+        if self.cfg.model.norm_type != "batch_renorm":
+            return None
+        return renorm_clipping_schedule(step)
+
+    def growing_image(self, x: jax.Array, alpha: jax.Array) -> jax.Array:
+        """Alpha-blend the input with its 2x-downsampled+upsampled self during
+        fade-in (reference image_generation.get_growing_image :1001-1006)."""
+        if not self.cfg.model.is_growing:
+            return x
+        from twingan_tpu import ops
+
+        low = ops.upsample_nearest_2x(ops.avg_pool_2x(x))
+        return ops.blend(x, low, alpha)
+
+    # ------------------------------------------------------------------ #
+    # Train steps
+    # ------------------------------------------------------------------ #
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def g_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        cfg = self.cfg
+        alpha = self._alpha(state.step)
+        clip = self._renorm_clip(state.step)
+        k_noise, k_gdrop = jax.random.split(jax.random.fold_in(rng, state.critic_step))
+        real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
+        z = jax.random.normal(k_noise, noise_shape(cfg.model, real.shape[0]))
+
+        def loss_fn(gen_params):
+            (fake, _), new_gen_state = apply_model(
+                self.gen, gen_params, state.model_state[GEN], z,
+                alpha=alpha, train=True, update_state=True, renorm_clip=clip,
+            )
+            (fake_pred, _), _ = apply_model(
+                self.dis, state.params[DIS], state.model_state[DIS], fake,
+                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
+                update_state=False, rngs={"gdrop": k_gdrop},
+            )
+            loss = generator_gan_loss(cfg.loss, fake_pred)
+            return loss, (new_gen_state, fake)
+
+        (g_loss, (new_gen_state, fake)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params[GEN]
+        )
+        updates, new_opt = self.gen_tx.update(grads, state.gen_opt_state, state.params[GEN])
+        new_gen_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params[GEN], updates
+        )
+        new_ema, new_strength = update_gdrop_state(
+            state.gen_loss_ema, g_loss, state.step, cfg.gdrop_coef, cfg.gdrop_lim, cfg.gdrop_exp
+        )
+        if not cfg.use_gdrop:
+            new_strength = state.gdrop_strength
+        new_state = state.replace(
+            step=state.step + 1,
+            critic_step=state.critic_step + 1,
+            params={**state.params, GEN: new_gen_params},
+            model_state={**state.model_state, GEN: new_gen_state},
+            gen_opt_state=new_opt,
+            gen_loss_ema=new_ema,
+            gdrop_strength=new_strength,
+        )
+        metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength}
+        return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        cfg = self.cfg
+        alpha = self._alpha(state.step)
+        clip = self._renorm_clip(state.step)
+        key = jax.random.fold_in(rng, state.critic_step)
+        k_noise, k_gdrop, k_gp = jax.random.split(key, 3)
+        real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
+        z = jax.random.normal(k_noise, noise_shape(cfg.model, real.shape[0]))
+
+        # Generator forward without updates (reference: G update ops are
+        # filtered out of D steps).
+        (fake, _), _ = apply_model(
+            self.gen, state.params[GEN], state.model_state[GEN], z,
+            alpha=alpha, train=True, update_state=False, renorm_clip=clip,
+        )
+        fake = jax.lax.stop_gradient(fake)
+
+        def loss_fn(dis_params):
+            (fake_pred, _), new_dis_state = apply_model(
+                self.dis, dis_params, state.model_state[DIS], fake,
+                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
+                update_state=True, rngs={"gdrop": k_gdrop},
+            )
+            (real_pred, _), _ = apply_model(
+                self.dis, dis_params, state.model_state[DIS], real,
+                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
+                update_state=False, rngs={"gdrop": k_gdrop},
+            )
+            losses = discriminator_gan_loss(cfg.loss, fake_pred, real_pred)
+
+            def dis_fn(images):
+                (pred, _), _ = apply_model(
+                    self.dis, dis_params, state.model_state[DIS], images,
+                    alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
+                    update_state=False, rngs={"gdrop": k_gdrop},
+                )
+                return pred
+
+            gp = gradient_penalty(cfg.loss, k_gp, dis_fn, real, fake)
+            losses["gradient_penalty"] = gp
+            total = sum(losses.values())
+            return total, (new_dis_state, losses, real_pred, fake_pred)
+
+        (d_loss, (new_dis_state, losses, real_pred, fake_pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params[DIS])
+        updates, new_opt = self.dis_tx.update(grads, state.dis_opt_state, state.params[DIS])
+        new_dis_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params[DIS], updates
+        )
+        new_state = state.replace(
+            critic_step=state.critic_step + 1,
+            params={**state.params, DIS: new_dis_params},
+            model_state={**state.model_state, DIS: new_dis_state},
+            dis_opt_state=new_opt,
+        )
+        metrics = {
+            "discriminator_loss": d_loss,
+            "real_pred_mean": jnp.mean(real_pred),
+            "fake_pred_mean": jnp.mean(fake_pred),
+            **losses,
+        }
+        return new_state, metrics
+
+    def round_step(self, state: GanTrainState, batches, rng: jax.Array):
+        """One n-critic round: 1 G update + (n_critic-1) D updates.
+
+        ``batches`` is a list of n_critic batch dicts (one per micro-step).
+        The reference order is G first (counter starts at 0,
+        image_generation.py:640-646).
+        """
+        state, g_metrics = self.g_step(state, batches[0], rng)
+        metrics = dict(g_metrics)
+        for i in range(1, self.cfg.n_critic):
+            state, d_metrics = self.d_step(state, batches[i], rng)
+            metrics.update(d_metrics)
+        return state, metrics
+
+    # ------------------------------------------------------------------ #
+    # Sampling
+    # ------------------------------------------------------------------ #
+    @functools.partial(jax.jit, static_argnums=0)
+    def sample(self, state: GanTrainState, z: jax.Array) -> jax.Array:
+        """Inference-mode generation (moving statistics)."""
+        alpha = self._alpha(state.step)
+        (img, _), _ = apply_model(
+            self.gen, state.params[GEN], state.model_state[GEN], z,
+            alpha=alpha, train=False, update_state=False,
+        )
+        return img

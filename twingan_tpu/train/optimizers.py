@@ -1,0 +1,81 @@
+"""Optimizer + learning-rate-schedule factory (optax).
+
+Reference parity: /root/reference/model/model_inheritor.py:471-565 —
+optimizers adadelta/adagrad/adam/ftrl/momentum/rmsprop/sgd with the GAN
+defaults adam(beta1=0.5, beta2=0.99, eps=1e-8) lr=0.005, and schedules
+fixed/exponential/polynomial. TTUR (separate discriminator LR,
+image_generation.py:554-561) is built by constructing a second optimizer
+with ``learning_rate=discriminator_learning_rate``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 0.005
+    # Schedules.
+    learning_rate_decay_type: str = "fixed"  # fixed | exponential | polynomial
+    learning_rate_decay_factor: float = 0.94
+    decay_steps: int = 10000                # derived from num_epochs_per_decay
+    end_learning_rate: float = 0.0001
+    # Adam.
+    adam_beta1: float = 0.5
+    adam_beta2: float = 0.99
+    opt_epsilon: float = 1e-8
+    # Momentum / RMSProp.
+    momentum: float = 0.9
+    rmsprop_momentum: float = 0.9
+    rmsprop_decay: float = 0.9
+    # Optional global-norm clip (not in the reference; off by default).
+    clip_global_norm: float = 0.0
+
+    def replace(self, **kw) -> "OptimizerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def build_schedule(cfg: OptimizerConfig) -> optax.Schedule:
+    if cfg.learning_rate_decay_type == "fixed":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.learning_rate_decay_type == "exponential":
+        return optax.exponential_decay(
+            cfg.learning_rate, cfg.decay_steps, cfg.learning_rate_decay_factor, staircase=True
+        )
+    if cfg.learning_rate_decay_type == "polynomial":
+        return optax.polynomial_schedule(
+            cfg.learning_rate, cfg.end_learning_rate, power=1.0, transition_steps=cfg.decay_steps
+        )
+    raise ValueError(f"unsupported decay type {cfg.learning_rate_decay_type!r}")
+
+
+def build_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    schedule = build_schedule(cfg)
+    name = cfg.optimizer
+    if name == "adam":
+        tx = optax.adam(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.opt_epsilon)
+    elif name == "sgd":
+        tx = optax.sgd(schedule)
+    elif name == "momentum":
+        tx = optax.sgd(schedule, momentum=cfg.momentum)
+    elif name == "rmsprop":
+        tx = optax.rmsprop(
+            schedule, decay=cfg.rmsprop_decay, eps=cfg.opt_epsilon, momentum=cfg.rmsprop_momentum
+        )
+    elif name == "adagrad":
+        tx = optax.adagrad(schedule)
+    elif name == "adadelta":
+        tx = optax.adadelta(schedule)
+    elif name == "ftrl":
+        # optax has no ftrl; adagrad is the closest family member. The
+        # reference never uses ftrl for GAN configs.
+        tx = optax.adagrad(schedule)
+    else:
+        raise ValueError(f"unsupported optimizer {name!r}")
+    if cfg.clip_global_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_global_norm), tx)
+    return tx

@@ -1,0 +1,87 @@
+"""Train state pytree + module application helpers.
+
+The reference keeps global_step / n_critic_counter / gdrop_strength / loss-EMA
+as TF1 graph variables (image_generation.py:563-651); here they are explicit
+fields of one flax.struct dataclass that flows through the jitted steps.
+
+``params`` and ``model_state`` are dicts keyed by network name ('generator',
+'discriminator', 'encoder_content', ...) — the functional replacement for the
+reference's variable scopes: generator-side optimization takes grads w.r.t.
+exactly the generator-side subtrees (model_inheritor _get_variables_to_train).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import flax.struct
+import optax
+
+
+@flax.struct.dataclass
+class GanTrainState:
+    step: jax.Array                      # global step: increments on G updates
+    critic_step: jax.Array               # total micro-steps (G + D)
+    params: Dict[str, Any]               # per-network param trees
+    model_state: Dict[str, Any]          # per-network {batch_stats, spectral}
+    gen_opt_state: optax.OptState
+    dis_opt_state: optax.OptState
+    gdrop_strength: jax.Array
+    gen_loss_ema: jax.Array
+
+
+def apply_model(
+    module: nn.Module,
+    params: Any,
+    model_state: Dict[str, Any],
+    *args,
+    train: bool = False,
+    update_state: bool = False,
+    rngs: Optional[dict] = None,
+    **kwargs,
+):
+    """Apply a Flax module with explicit state threading.
+
+    Returns (outputs, new_model_state). With update_state=False the state is
+    returned unchanged (e.g. the discriminator's forward inside a generator
+    step must not advance batch stats or spectral-norm power iterations —
+    matching the reference's scope-filtered update ops,
+    image_generation.py:626-629).
+    """
+    variables = {"params": params, **model_state}
+    mutable = list(model_state.keys()) if (update_state and model_state) else False
+    out = module.apply(variables, *args, train=train, rngs=rngs, mutable=mutable, **kwargs)
+    if mutable:
+        out, new_state = out
+        return out, dict(new_state)
+    return out, model_state
+
+
+def init_model(module: nn.Module, rng: jax.Array, *args, extra_rngs: Optional[dict] = None, **kwargs):
+    """Initialize a module; returns (params, model_state)."""
+    variables = module.init({"params": rng, **(extra_rngs or {})}, *args, **kwargs)
+    variables = dict(variables)
+    params = variables.pop("params")
+    return params, {k: v for k, v in variables.items()}
+
+
+def update_gdrop_state(
+    state_ema: jax.Array,
+    gen_loss: jax.Array,
+    step: jax.Array,
+    coef: float,
+    lim: float,
+    exp: float,
+    ema_decay: float = 0.9,
+) -> tuple[jax.Array, jax.Array]:
+    """gdrop strength schedule driven by the generator-loss EMA
+    (reference image_generation.py:563-585): after step 100,
+    strength = coef * max(EMA(clip(loss,0,1)) - lim, 0) ** exp."""
+    cur = jnp.clip(gen_loss.astype(jnp.float32), 0.0, 1.0)
+    new_ema = state_ema * ema_decay + cur * (1.0 - ema_decay)
+    gdrop_coef = jnp.where(step > 100, coef, 0.0)
+    strength = gdrop_coef * jnp.power(jnp.maximum(new_ema - lim, 0.0), exp)
+    return new_ema, strength
