@@ -1,0 +1,325 @@
+"""Data-layer tests: TFRecord codec (cross-checked against TensorFlow's own
+writer/reader), tf.Example wire codec, datasets, converters, preprocessing,
+pipeline."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.data import (
+    TFRecordReader,
+    TFRecordWriter,
+    decode_example,
+    encode_example,
+    get_dataset,
+    masked_crc32c,
+)
+from twingan_tpu.data.preprocess import (
+    PreprocessConfig,
+    augment_batch,
+    host_resize,
+    postprocess_image,
+    rgb_to_yiq,
+    yiq_to_rgb,
+)
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    PILImage.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestTFRecordCodec:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "a.tfrecord")
+        payloads = [b"hello", b"world" * 100, b"", os.urandom(1 << 16)]
+        with TFRecordWriter(path) as w:
+            for p in payloads:
+                w.write(p)
+        r = TFRecordReader(path, verify=True)
+        assert len(r) == len(payloads)
+        for got, want in zip(r, payloads):
+            assert bytes(got) == want
+
+    def test_tensorflow_can_read_ours(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        path = str(tmp_path / "ours.tfrecord")
+        with TFRecordWriter(path) as w:
+            w.write(b"payload-1")
+            w.write(b"payload-2" * 50)
+        got = [bytes(x.numpy()) for x in tf.data.TFRecordDataset(path)]
+        assert got == [b"payload-1", b"payload-2" * 50]
+
+    def test_we_can_read_tensorflows(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        path = str(tmp_path / "tf.tfrecord")
+        with tf.io.TFRecordWriter(path) as w:
+            w.write(b"abc")
+            w.write(os.urandom(1000))
+        r = TFRecordReader(path, verify=True)
+        assert len(r) == 2
+        assert bytes(r[0]) == b"abc"
+
+    def test_corruption_detected(self, tmp_path):
+        path = str(tmp_path / "bad.tfrecord")
+        with TFRecordWriter(path) as w:
+            w.write(b"x" * 100)
+        raw = bytearray(open(path, "rb").read())
+        raw[20] ^= 0xFF  # flip a payload byte
+        open(path, "wb").write(raw)
+        with pytest.raises(IOError):
+            TFRecordReader(path, verify=True)
+
+    def test_masked_crc_matches_tensorflow_values(self):
+        # Golden value from TF's crc32c of b'123456789' == 0xe3069283.
+        from twingan_tpu.data import crc32c
+
+        assert crc32c(b"123456789") == 0xE3069283
+
+
+class TestExampleCodec:
+    def test_roundtrip_all_types(self):
+        feats = {
+            "image/encoded": b"\x89PNGfake",
+            "image/format": b"png",
+            "image/attribs": np.arange(-3, 5, dtype=np.int64),
+            "image/landmarks": np.linspace(0, 1, 10).astype(np.float32),
+            "names": [b"a", b"bb"],
+        }
+        decoded = decode_example(encode_example(feats))
+        assert decoded["image/encoded"] == [b"\x89PNGfake"]
+        assert decoded["image/format"] == [b"png"]
+        np.testing.assert_array_equal(decoded["image/attribs"], feats["image/attribs"])
+        np.testing.assert_allclose(decoded["image/landmarks"], feats["image/landmarks"], rtol=1e-6)
+        assert decoded["names"] == [b"a", b"bb"]
+
+    def test_tensorflow_parses_ours(self):
+        tf = pytest.importorskip("tensorflow")
+        feats = {
+            "b": b"bytes",
+            "f": np.asarray([1.5, -2.5], np.float32),
+            "i": np.asarray([3, -4], np.int64),
+        }
+        ex = tf.train.Example.FromString(encode_example(feats))
+        assert ex.features.feature["b"].bytes_list.value[0] == b"bytes"
+        np.testing.assert_allclose(list(ex.features.feature["f"].float_list.value), [1.5, -2.5])
+        assert list(ex.features.feature["i"].int64_list.value) == [3, -4]
+
+    def test_we_parse_tensorflows(self):
+        tf = pytest.importorskip("tensorflow")
+        ex = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "b": tf.train.Feature(bytes_list=tf.train.BytesList(value=[b"xyz"])),
+                    "i": tf.train.Feature(int64_list=tf.train.Int64List(value=[7, -9])),
+                    "f": tf.train.Feature(float_list=tf.train.FloatList(value=[0.25])),
+                }
+            )
+        )
+        decoded = decode_example(ex.SerializeToString())
+        assert decoded["b"] == [b"xyz"]
+        np.testing.assert_array_equal(decoded["i"], [7, -9])
+        np.testing.assert_allclose(decoded["f"], [0.25])
+
+
+class TestDatasetsAndConverters:
+    def _make_image_dir(self, tmp_path, n=6, hw=48):
+        d = tmp_path / "imgs"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            arr = (rng.rand(hw, hw + (i % 2) * 16, 3) * 255).astype(np.uint8)
+            PILImage.fromarray(arr).save(d / f"img_{i}.png")
+        return str(d)
+
+    def test_convert_and_read_image_only(self, tmp_path):
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.tfrecord import list_shards
+
+        img_dir = self._make_image_dir(tmp_path)
+        out_dir = str(tmp_path / "records")
+        n = convert_image_folder(img_dir, out_dir, split="train", num_shards=2)
+        assert n == 6
+        shards = list_shards(out_dir, "train")
+        assert len(shards) == 2
+        spec = get_dataset("image_only")
+        items = [spec.parse(p) for p in TFRecordReader(shards[0])]
+        assert items and items[0]["source"].dtype == np.uint8
+        assert items[0]["source"].ndim == 3
+
+    def test_size_and_ratio_filters(self, tmp_path):
+        from twingan_tpu.data.converters import convert_image_folder
+
+        img_dir = self._make_image_dir(tmp_path)
+        out = str(tmp_path / "r2")
+        n = convert_image_folder(img_dir, out, num_shards=1, min_hw=1000)
+        assert n == 0
+
+    def test_svhn_converter_roundtrip(self, tmp_path):
+        from scipy.io import savemat
+
+        from twingan_tpu.data.converters import convert_svhn
+        from twingan_tpu.data.tfrecord import list_shards
+
+        rng = np.random.RandomState(0)
+        X = (rng.rand(32, 32, 3, 5) * 255).astype(np.uint8)
+        y = np.asarray([[1], [2], [10], [4], [5]], np.uint8)
+        mat = str(tmp_path / "train_32x32.mat")
+        savemat(mat, {"X": X, "y": y})
+        out = str(tmp_path / "svhn")
+        n = convert_svhn(mat, out)
+        assert n == 5
+        spec = get_dataset("svhn")
+        recs = TFRecordReader(list_shards(out, "train")[0])
+        item = spec.parse(recs[2])
+        assert item["source"].shape == (32, 32, 3)
+        assert int(item["label"]) == 0  # label 10 -> digit 0
+        np.testing.assert_array_equal(item["source"], X[:, :, :, 2])
+
+    def test_image_pair_converter(self, tmp_path):
+        from twingan_tpu.data.converters import convert_image_pairs
+        from twingan_tpu.data.tfrecord import list_shards
+
+        a = self._make_image_dir(tmp_path / "a")
+        b = self._make_image_dir(tmp_path / "b")
+        out = str(tmp_path / "pairs")
+        n = convert_image_pairs(a, b, out, num_shards=1)
+        assert n == 6
+        spec = get_dataset("image_pair")
+        item = spec.parse(TFRecordReader(list_shards(out, "train")[0])[0])
+        assert item["source"].shape[2] == 3 and item["target"].shape[2] == 3
+
+    def test_celeba_converter(self, tmp_path):
+        from twingan_tpu.data.converters import convert_celeba
+        from twingan_tpu.data.tfrecord import list_shards
+
+        img_dir = self._make_image_dir(tmp_path, n=4)
+        part = tmp_path / "partition.txt"
+        lines = [f"img_{i}.png {0 if i < 3 else 2}" for i in range(4)]
+        part.write_text("\n".join(lines))
+        attr = tmp_path / "attr.txt"
+        header = ["4", " ".join(f"A{j}" for j in range(40))]
+        rows = [f"img_{i}.png " + " ".join("1" if j % 2 else "-1" for j in range(40)) for i in range(4)]
+        attr.write_text("\n".join(header + rows))
+        out = str(tmp_path / "celeba")
+        n = convert_celeba(img_dir, out, str(part), attrib_file=str(attr), num_shards=1)
+        assert n == 3  # only partition 0
+        spec = get_dataset("celeba")
+        item = spec.parse(TFRecordReader(list_shards(out, "train")[0])[0])
+        assert item["conditional_labels"].shape == (40,)
+        assert item["conditional_labels"][1] == 1.0 and item["conditional_labels"][0] == 0.0
+
+
+class TestPreprocess:
+    def test_host_resize_modes(self):
+        img = (np.random.RandomState(0).rand(30, 60, 3) * 255).astype(np.uint8)
+        for mode in ("PAD", "CROP", "RESHAPE"):
+            out = host_resize(img, mode, 32)
+            assert out.shape == (32, 32, 3)
+            assert out.dtype == np.float32 and out.max() <= 1.0
+        out = host_resize(img, "RANDOM_CROP", 16, rng=np.random.RandomState(1))
+        assert out.shape == (16, 16, 3)
+
+    def test_pad_preserves_content_ratio(self):
+        # A wide white image PAD-resized: rows at top/bottom are black padding.
+        img = np.full((10, 40, 3), 255, np.uint8)
+        out = host_resize(img, "PAD", 40)
+        assert out[0, :, :].max() == 0.0  # top padding
+        assert out[20, :, :].min() > 0.9  # center content
+
+    def test_augment_shapes_and_range(self):
+        cfg = PreprocessConfig(output_hw=16, is_training=True, do_random_cropping=True)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(4, cfg.host_hw, cfg.host_hw, 3), jnp.float32)
+        out = augment_batch(jax.random.PRNGKey(0), imgs, cfg)
+        assert out.shape == (4, 16, 16, 3)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    def test_eval_path_is_deterministic(self):
+        cfg = PreprocessConfig(output_hw=16, is_training=False)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+        a = augment_batch(jax.random.PRNGKey(0), imgs, cfg)
+        b = augment_batch(jax.random.PRNGKey(9), imgs, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shared_flip_consistency(self):
+        cfg = PreprocessConfig(output_hw=8, is_training=True, shared_flip=True)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(3, 8, 8, 3), jnp.float32)
+        key = jax.random.PRNGKey(3)
+        a = augment_batch(key, imgs, cfg)
+        b = augment_batch(key, imgs, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_yiq_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4, 3), jnp.float32)
+        back = yiq_to_rgb(rgb_to_yiq(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-2)
+
+    def test_postprocess_bgr_and_gray(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 4, 3), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(postprocess_image(x[..., ::-1], "bgr")), np.asarray(x), rtol=1e-6
+        )
+        multi = jnp.concatenate([x, x], axis=-1)
+        assert postprocess_image(multi, "rgb").shape[-1] == 1
+
+    def test_hue_adjust_hsv_roundtrip(self):
+        from twingan_tpu.data.preprocess import _hsv_to_rgb, _rgb_to_hsv
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 5, 5, 3), jnp.float32)
+        back = _hsv_to_rgb(_rgb_to_hsv(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+class TestPipeline:
+    def test_synthetic_source(self):
+        from twingan_tpu.data.pipeline import SyntheticSource
+
+        it = iter(SyntheticSource(batch_size=4, hw=8))
+        batch = next(it)
+        assert batch["source"].shape == (4, 8, 8, 3)
+        assert batch["target"].shape == (4, 8, 8, 3)
+
+    def test_tfrecord_source_batches(self, tmp_path):
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.pipeline import TFRecordSource
+        from twingan_tpu.data.tfrecord import list_shards
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(10):
+            PILImage.fromarray((rng.rand(20, 24, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.png"
+            )
+        out = str(tmp_path / "rec")
+        convert_image_folder(str(d), out, num_shards=2)
+        src = TFRecordSource(
+            get_dataset("image_only"),
+            list_shards(out, "train"),
+            PreprocessConfig(output_hw=16),
+            batch_size=4,
+            repeat=False,
+        )
+        assert src.num_samples == 10
+        batches = list(iter(src))
+        assert len(batches) == 2  # drop remainder
+        assert batches[0]["source"].shape == (4, 16, 16, 3)
+
+    def test_unpaired_and_prefetch(self, tmp_path):
+        from twingan_tpu.data.pipeline import DevicePrefetcher, SyntheticSource, UnpairedSource
+
+        a = SyntheticSource(batch_size=2, hw=8, keys=("source",), seed=0)
+        b = SyntheticSource(batch_size=2, hw=8, keys=("source",), seed=1)
+        up = UnpairedSource(a, b)
+        pf = DevicePrefetcher(up, depth=2, keys=("source", "target"))
+        batch = next(pf)
+        assert set(batch) == {"source", "target"}
+        assert isinstance(batch["source"], jax.Array)
+        pf.close()

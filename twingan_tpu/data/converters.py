@@ -1,0 +1,227 @@
+"""Offline dataset converters: image folders / CelebA / SVHN / pairs ->
+sharded TFRecords.
+
+Reference parity: datasets/convert_general_image_data.py (threaded sharded
+writer base with size/ratio filters), convert_image_only.py,
+convert_celeba.py (partition-file driven), download_and_convert_svhn.py
+(.mat -> raw records; download is out of scope in this offline environment —
+point it at a local .mat). Output shards follow the reference's naming
+'%s_%s_%05d-of-%05d.tfrecord'.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import io
+import os
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+from PIL import Image as PILImage
+
+from twingan_tpu.data.example import encode_example
+from twingan_tpu.data.tfrecord import TFRecordWriter
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def list_images(root: str) -> list[str]:
+    out = []
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if n.lower().endswith(IMAGE_EXTENSIONS):
+                out.append(os.path.join(dirpath, n))
+    return sorted(out)
+
+
+def shard_path(out_dir: str, dataset_name: str, split: str, shard: int, num_shards: int) -> str:
+    return os.path.join(
+        out_dir, f"{dataset_name}_{split}_{shard:05d}-of-{num_shards:05d}.tfrecord"
+    )
+
+
+def _load_and_filter(
+    path: str,
+    min_hw: int = 0,
+    max_ratio: float = 0.0,
+    encode_format: str = "jpeg",
+) -> Optional[dict]:
+    """Reads, filters (min size / aspect ratio like the reference base
+    converter), and re-encodes one image. Returns a feature dict or None."""
+    try:
+        img = PILImage.open(path)
+        img = img.convert("RGB")
+    except Exception:
+        return None
+    w, h = img.size
+    if min_hw and min(h, w) < min_hw:
+        return None
+    if max_ratio and max(h, w) / max(min(h, w), 1) > max_ratio:
+        return None
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG" if encode_format == "jpeg" else "PNG", quality=95)
+    return {
+        "image/encoded": buf.getvalue(),
+        "image/format": encode_format.encode(),
+        "image/filename": os.path.basename(path).encode(),
+    }
+
+
+def convert_image_folder(
+    image_dir: str,
+    out_dir: str,
+    dataset_name: str = "image_only",
+    split: str = "train",
+    num_shards: int = 4,
+    min_hw: int = 0,
+    max_ratio: float = 0.0,
+    num_threads: int = 4,
+    extra_features: Optional[Callable[[str], Optional[dict]]] = None,
+) -> int:
+    """Folder of images -> image_only-schema shards. Returns record count."""
+    paths = list_images(image_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    per_shard = max(1, (len(paths) + num_shards - 1) // num_shards)
+    with cf.ThreadPoolExecutor(num_threads) as pool:
+        for shard in range(num_shards):
+            chunk = paths[shard * per_shard : (shard + 1) * per_shard]
+            if not chunk and shard > 0:
+                continue
+            with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
+                for feats in pool.map(
+                    lambda p: _load_and_filter(p, min_hw, max_ratio), chunk
+                ):
+                    if feats is None:
+                        continue
+                    if extra_features is not None:
+                        extra = extra_features(feats["image/filename"].decode())
+                        if extra is None:
+                            continue
+                        feats.update(extra)
+                    w.write(encode_example(feats))
+                    count += 1
+    return count
+
+
+def convert_celeba(
+    image_dir: str,
+    out_dir: str,
+    partition_file: str,
+    attrib_file: Optional[str] = None,
+    landmark_file: Optional[str] = None,
+    split: str = "train",
+    num_shards: int = 4,
+    dataset_name: str = "celeba",
+) -> int:
+    """CelebA with list_eval_partition.txt (0=train 1=validation 2=test),
+    optional list_attr_celeba.txt (40 attribs) and landmark file."""
+    split_id = {"train": 0, "validation": 1, "test": 2}[split]
+    wanted = set()
+    with open(partition_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2 and int(parts[1]) == split_id:
+                wanted.add(parts[0])
+
+    attribs: dict = {}
+    if attrib_file:
+        with open(attrib_file) as f:
+            lines = f.read().splitlines()
+        # Format: count line, header line, then 'name v1 ... v40'.
+        for line in lines[2:]:
+            parts = line.split()
+            if len(parts) >= 41:
+                attribs[parts[0]] = np.asarray(
+                    [(1 if int(v) > 0 else 0) for v in parts[1:41]], np.int64
+                )
+    landmarks: dict = {}
+    if landmark_file:
+        with open(landmark_file) as f:
+            lines = f.read().splitlines()
+        for line in lines[2:]:
+            parts = line.split()
+            if len(parts) >= 11:
+                landmarks[parts[0]] = np.asarray([float(v) for v in parts[1:11]], np.float32)
+
+    def extra(filename: str) -> Optional[dict]:
+        if filename not in wanted:
+            return None
+        feats = {
+            "image/attribs": attribs.get(filename, np.zeros(40, np.int64)),
+            "image/landmarks": landmarks.get(filename, np.zeros(10, np.float32)),
+        }
+        return feats
+
+    return convert_image_folder(
+        image_dir, out_dir, dataset_name=dataset_name, split=split,
+        num_shards=num_shards, extra_features=extra,
+    )
+
+
+def convert_svhn(mat_path: str, out_dir: str, split: str = "train", num_shards: int = 1) -> int:
+    """SVHN .mat -> raw-format records (download_and_convert_svhn.py without
+    the download: no network egress here)."""
+    from scipy.io import loadmat
+
+    data = loadmat(mat_path)
+    images = np.transpose(data["X"], (3, 0, 1, 2))  # HWCN -> NHWC
+    labels = data["y"].reshape(-1).astype(np.int64) % 10  # label 10 means digit 0
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(images)
+    per_shard = max(1, (n + num_shards - 1) // num_shards)
+    count = 0
+    for shard in range(num_shards):
+        lo, hi = shard * per_shard, min((shard + 1) * per_shard, n)
+        with TFRecordWriter(shard_path(out_dir, "svhn", split, shard, num_shards)) as w:
+            for i in range(lo, hi):
+                w.write(
+                    encode_example(
+                        {
+                            "image/encoded": images[i].tobytes(),
+                            "image/format": b"raw",
+                            "image/class/label": np.asarray([labels[i]], np.int64),
+                        }
+                    )
+                )
+                count += 1
+    return count
+
+
+def convert_image_pairs(
+    source_dir: str,
+    target_dir: str,
+    out_dir: str,
+    split: str = "train",
+    num_shards: int = 4,
+    dataset_name: str = "image_pair",
+) -> int:
+    """Paired images matched by filename (pix2pix-style image_pair schema)."""
+    src = {os.path.basename(p): p for p in list_images(source_dir)}
+    tgt = {os.path.basename(p): p for p in list_images(target_dir)}
+    names = sorted(set(src) & set(tgt))
+    os.makedirs(out_dir, exist_ok=True)
+    per_shard = max(1, (len(names) + num_shards - 1) // num_shards)
+    count = 0
+    for shard in range(num_shards):
+        chunk = names[shard * per_shard : (shard + 1) * per_shard]
+        if not chunk and shard > 0:
+            continue
+        with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
+            for name in chunk:
+                a = _load_and_filter(src[name], encode_format="png")
+                b = _load_and_filter(tgt[name], encode_format="png")
+                if a is None or b is None:
+                    continue
+                w.write(
+                    encode_example(
+                        {
+                            "image/encoded_source": a["image/encoded"],
+                            "image/encoded_target": b["image/encoded"],
+                            "image/format": b"png",
+                            "image/filename": name.encode(),
+                        }
+                    )
+                )
+                count += 1
+    return count

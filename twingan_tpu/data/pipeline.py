@@ -1,0 +1,209 @@
+"""Input pipeline: record sources -> host decode/resize -> batched device
+feed with background prefetch.
+
+Reference parity: slim DatasetDataProvider with num_readers + tf.train.batch
+threads + prefetch_queue (model_inheritor.py:801-843, libs/prefetcher.py),
+and the synthetic speed-test source (_create_synthetic_data,
+model_inheritor.py:786-799). The unpaired two-dataset combination keeps the
+reference's a_/b_ prefix convention mapped to source/target batch keys.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from twingan_tpu.data.datasets import DatasetSpec
+from twingan_tpu.data.preprocess import PreprocessConfig, host_resize
+from twingan_tpu.data.tfrecord import TFRecordReader
+
+
+class SyntheticSource:
+    """Uniform-random image batches, matching _create_synthetic_data. Used
+    for throughput benchmarking and tests without datasets on disk."""
+
+    def __init__(self, batch_size: int, hw: int, channels: int = 3, seed: int = 0,
+                 keys: Sequence[str] = ("source", "target")):
+        self.batch_size, self.hw, self.channels = batch_size, hw, channels
+        self.keys = tuple(keys)
+        self._rng = np.random.RandomState(seed)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield {
+                k: self._rng.rand(self.batch_size, self.hw, self.hw, self.channels).astype(np.float32)
+                for k in self.keys
+            }
+
+
+class TFRecordSource:
+    """Shuffled epoch iterator over tfrecord shards with host-side
+    decode + resize to the fixed pre-augmentation hw."""
+
+    def __init__(
+        self,
+        spec: DatasetSpec,
+        shard_paths: Sequence[str],
+        preprocess: PreprocessConfig,
+        batch_size: int,
+        seed: int = 0,
+        repeat: bool = True,
+        drop_remainder: bool = True,
+    ):
+        if not shard_paths:
+            raise ValueError(f"no tfrecord shards given for dataset {spec.name}")
+        self.spec = spec
+        self.preprocess = preprocess
+        self.batch_size = batch_size
+        self.repeat = repeat
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.RandomState(seed)
+        self.readers = [TFRecordReader(p) for p in shard_paths]
+        self.index = [(si, ri) for si, r in enumerate(self.readers) for ri in range(len(r))]
+        if not self.index:
+            raise ValueError(f"tfrecord shards for {spec.name} are empty")
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.index)
+
+    def _sample(self, si: int, ri: int) -> Dict[str, np.ndarray]:
+        item = self.spec.parse(self.readers[si][ri])
+        pp = self.preprocess
+        for key in ("source", "target", "image"):
+            img = item.get(key)
+            if img is not None and getattr(img, "ndim", 0) >= 2:
+                item[key] = host_resize(
+                    img, pp.resize_mode, pp.host_hw, rng=self._rng,
+                    initial_crop_hw=pp.initial_crop_hw,
+                )
+        return item
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            order = self._rng.permutation(len(self.index))
+            batch: list = []
+            for idx in order:
+                si, ri = self.index[idx]
+                try:
+                    batch.append(self._sample(si, ri))
+                except Exception:
+                    continue  # skip undecodable records like the ref converters
+                if len(batch) == self.batch_size:
+                    yield _collate(batch)
+                    batch = []
+            if batch and not self.drop_remainder:
+                yield _collate(batch)
+            if not self.repeat:
+                return
+
+
+def _collate(samples: list) -> Dict[str, np.ndarray]:
+    keys = set(samples[0])
+    for s in samples[1:]:
+        keys &= set(s)
+    out = {}
+    for k in keys:
+        vals = [s[k] for s in samples]
+        if getattr(vals[0], "dtype", None) is not None and vals[0].dtype.kind in "SU":
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class UnpairedSource:
+    """Combines two datasets into {source, target} batches with a_/b_ extras
+    (reference _combine_unpaired_data, model_inheritor.py:845-856)."""
+
+    def __init__(self, source_iter, target_iter):
+        self.source_iter = source_iter
+        self.target_iter = target_iter
+
+    def __iter__(self):
+        for a, b in zip(iter(self.source_iter), iter(self.target_iter)):
+            batch = {}
+            for k, v in a.items():
+                batch[f"a_{k}"] = v
+            for k, v in b.items():
+                batch[f"b_{k}"] = v
+            batch["source"] = a.get("source", a.get("target"))
+            batch["target"] = b.get("source", b.get("target"))
+            if "embedding" in a:
+                batch["source_embedding"] = a["embedding"]
+            if "embedding" in b:
+                batch["target_embedding"] = b["embedding"]
+            yield batch
+
+
+class DevicePrefetcher:
+    """Background thread that keeps `depth` batches device-resident
+    (replaces slim prefetch_queue; double-buffered by default)."""
+
+    def __init__(self, source, depth: int = 2, sharding=None, keys: Optional[Sequence[str]] = None):
+        self.source = source
+        self.depth = depth
+        self.sharding = sharding
+        self.keys = tuple(keys) if keys else None
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, batch):
+        if self.keys:
+            batch = {k: batch[k] for k in self.keys if k in batch}
+        else:
+            batch = {k: v for k, v in batch.items() if getattr(v, "dtype", None) is not None
+                     and v.dtype.kind not in "SU"}
+        if self.sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), batch
+            )
+        else:
+            batch = jax.tree_util.tree_map(jax.device_put, batch)
+        # Bounded put that stays responsive to close() — a daemon thread
+        # blocked in Queue.put during interpreter teardown aborts the process.
+        while not self._stop.is_set():
+            try:
+                self._q.put(batch, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    def _worker(self):
+        try:
+            for batch in iter(self.source):
+                if self._stop.is_set():
+                    return
+                self._put(batch)
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
