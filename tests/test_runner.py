@@ -1,0 +1,200 @@
+"""Stage runner / checkpoint / migration tests (tiny resolutions, synthetic
+data). Covers exactly the pggan_runner stage logic the reference never
+tested (SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.serialization
+
+from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.runner.checkpoint import CheckpointManager, save_config_snapshot
+from twingan_tpu.runner.migrate import migrate_state_dict
+from twingan_tpu.runner.stage_runner import (
+    PGGAN_BATCH_SCHEDULE,
+    RunConfig,
+    StageRunner,
+    TWINGAN_BATCH_SCHEDULE,
+    stage_dir_name,
+    stage_plan,
+)
+from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
+from twingan_tpu.train.optimizers import OptimizerConfig
+
+
+def small_trainer_cfg(res=8, growing=False):
+    return GanTrainerConfig(
+        model=PGGANConfig(resolution=res, is_growing=growing, max_channels=16),
+        batch_size=4,
+        opt=OptimizerConfig(learning_rate=1e-3),
+    )
+
+
+class TestStagePlan:
+    def test_plan_matches_reference(self):
+        # (4,F),(8,T),(8,F),(16,T),(16,F) — pggan_runner.py:98-104.
+        assert stage_plan(4, 16) == [
+            (4, False), (8, True), (8, False), (16, True), (16, False)
+        ]
+
+    def test_dir_names(self):
+        assert stage_dir_name(8, True) == "4to8"
+        assert stage_dir_name(8, False) == "8"
+
+    def test_batch_schedules(self):
+        assert PGGAN_BATCH_SCHEDULE[4] == 16 and PGGAN_BATCH_SCHEDULE[512] == 6
+        assert TWINGAN_BATCH_SCHEDULE[256] == 3
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        trainer = GanTrainer(small_trainer_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        cm = CheckpointManager(str(tmp_path / "stage"))
+        cm.save(5, state)
+        assert cm.latest_step() == 5
+        template = trainer.init_state(jax.random.PRNGKey(1))
+        restored = cm.restore(template)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+
+    def test_keep_prunes_old(self, tmp_path):
+        trainer = GanTrainer(small_trainer_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        cm = CheckpointManager(str(tmp_path / "s"))
+        for step in (1, 2, 3, 4):
+            cm.save(step, state, keep=2)
+        assert cm.all_steps() == [3, 4]
+
+    def test_config_snapshot(self, tmp_path):
+        import json
+
+        path = save_config_snapshot(str(tmp_path), small_trainer_cfg())
+        data = json.load(open(path))
+        assert data["model"]["resolution"] == 8
+        assert data["opt"]["learning_rate"] == 1e-3
+
+
+class TestMigration:
+    def test_growth_migration_carries_and_inits(self):
+        t8 = GanTrainer(small_trainer_cfg(res=8))
+        s8 = t8.init_state(jax.random.PRNGKey(0))
+        # Train a step so params differ from fresh init.
+        s8, _ = t8.g_step(s8, {"target": jnp.ones((4, 8, 8, 3))}, jax.random.PRNGKey(1))
+
+        t16 = GanTrainer(small_trainer_cfg(res=16, growing=True))
+        s16 = t16.init_state(jax.random.PRNGKey(2))
+        template = flax.serialization.to_state_dict(s16)
+        restored = flax.serialization.to_state_dict(s8)
+        migrated, report = migrate_state_dict(template, restored)
+        new_state = flax.serialization.from_state_dict(s16, migrated)
+
+        # Carried: block_4 conv kernels equal the trained 8px values.
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
+            np.asarray(s8.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
+        )
+        # Fresh: the new 16px block exists only in the new state.
+        assert "block_16_conv0" in new_state.params["generator"]
+        assert any("block_16_conv0" in p for p in report["fresh"])
+        # Counters reset.
+        assert int(new_state.step) == 0
+        assert report["carried"] and not report["shape_mismatch"]
+
+    def test_optimizer_slots_carry(self):
+        t8 = GanTrainer(small_trainer_cfg(res=8))
+        s8 = t8.init_state(jax.random.PRNGKey(0))
+        s8, _ = t8.g_step(s8, {"target": jnp.ones((4, 8, 8, 3))}, jax.random.PRNGKey(1))
+        t16 = GanTrainer(small_trainer_cfg(res=16, growing=True))
+        s16 = t16.init_state(jax.random.PRNGKey(2))
+        migrated, _ = migrate_state_dict(
+            flax.serialization.to_state_dict(s16), flax.serialization.to_state_dict(s8)
+        )
+        new_state = flax.serialization.from_state_dict(s16, migrated)
+        # Adam mu for a carried layer is nonzero (came from the trained stage).
+        mu = new_state.gen_opt_state[0].mu["block_4_conv0"]["conv"]["kernel"]
+        assert float(jnp.abs(mu).max()) > 0
+
+
+class TestStageRunnerEndToEnd:
+    def _run_cfg(self, tmp_path, **kw):
+        defaults = dict(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4,
+            max_hw=8,
+            num_images_per_resolution=12,  # 3 steps at batch 4
+            batch_schedule={4: 4, 8: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(),
+            log_every_n_steps=1,
+            save_every_n_steps=100,
+            log_image_every_n_iter=0,
+        )
+        defaults.update(kw)
+        return RunConfig(**defaults)
+
+    def test_progressive_run_and_skip(self, tmp_path):
+        cfg = self._run_cfg(tmp_path)
+        runner = StageRunner(cfg)
+        summary = runner.run()
+        assert set(summary) == {"4", "4to8", "8"}
+        for stage in ("4", "4to8", "8"):
+            assert summary[stage]["steps"] == 3
+            stage_dir = os.path.join(cfg.train_dir, stage)
+            assert CheckpointManager(stage_dir).latest_step() == 3
+            assert os.path.exists(os.path.join(stage_dir, "config.json"))
+        # A second run skips every completed stage.
+        summary2 = StageRunner(cfg).run()
+        assert all(info.get("skipped") for info in summary2.values())
+
+    def test_twingan_program(self, tmp_path):
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        cfg = self._run_cfg(
+            tmp_path,
+            program="twingan",
+            max_hw=4,
+            trainer=TwinGANConfig(
+                model=PGGANConfig(resolution=4, max_channels=16, num_domains=2),
+                batch_size=4,
+                opt=OptimizerConfig(learning_rate=1e-3),
+            ),
+        )
+        summary = StageRunner(cfg).run()
+        assert summary["4"]["steps"] == 3
+
+    def test_sample_dumps(self, tmp_path):
+        cfg = self._run_cfg(tmp_path, max_hw=4, log_image_every_n_iter=2)
+        StageRunner(cfg).run()
+        samples = os.listdir(os.path.join(cfg.train_dir, "4", "generated_samples"))
+        assert any(s.endswith(".png") for s in samples)
+
+    def test_cli_parser_builds_config(self):
+        from twingan_tpu.runner.pggan_runner import build_parser, config_from_args
+
+        args = build_parser().parse_args(
+            [
+                "--train_dir=/tmp/x",
+                "--program_name=twingan",
+                "--max_hw=32",
+                "--use_unet=true",
+                "--generator_norm_type=batch_renorm",
+                "--loss_architecture=dragan",
+                "--use_style_embedding=true",
+                "--style_embed_size=8",
+            ]
+        )
+        cfg = config_from_args(args)
+        assert cfg.trainer.use_unet is True
+        assert cfg.trainer.model.norm_type == "batch_renorm"
+        assert cfg.trainer.model.style_dim == 8
+        assert cfg.max_hw == 32

@@ -1,0 +1,97 @@
+"""Checkpoint save/restore (Orbax) + config snapshots.
+
+Replaces the reference's TF1 Saver periodic checkpoints
+(slim.learning.train save_interval_secs, model_inheritor.py:74-76,1125) and
+the flags.txt reproducibility snapshot (:307,1029-1030). States are stored as
+pure nested dicts (flax.serialization.to_state_dict) so cross-stage
+migration can operate on path/shape intersections without caring about the
+dataclass shell.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import flax.serialization
+import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"^ckpt-(\d+)$")
+
+
+class CheckpointManager:
+    """Step-keyed pytree checkpoints under one train dir."""
+
+    def __init__(self, train_dir: str):
+        self.train_dir = os.path.abspath(train_dir)
+        os.makedirs(self.train_dir, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.train_dir, f"ckpt-{step}")
+
+    def all_steps(self) -> list[int]:
+        steps = []
+        if not os.path.isdir(self.train_dir):
+            return steps
+        for name in os.listdir(self.train_dir):
+            m = _STEP_RE.match(name)
+            if m and os.path.isdir(os.path.join(self.train_dir, name)):
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def save(self, step: int, state: Any, keep: int = 3) -> str:
+        """Save `state` (any pytree / flax struct) at `step`; prunes old
+        checkpoints beyond `keep`."""
+        path = self._path(step)
+        state_dict = flax.serialization.to_state_dict(state)
+        state_dict = jax.device_get(state_dict)
+        self._ckptr.save(path, state_dict, force=True)
+        for old in self.all_steps()[:-keep]:
+            import shutil
+
+            shutil.rmtree(self._path(old), ignore_errors=True)
+        return path
+
+    def restore_dict(self, step: Optional[int] = None) -> Optional[dict]:
+        """Raw nested state dict, or None if no checkpoint exists."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        return self._ckptr.restore(self._path(step))
+
+    def restore(self, template_state: Any, step: Optional[int] = None) -> Optional[Any]:
+        """Restore into a freshly-initialized template of identical structure
+        (same-stage resume)."""
+        raw = self.restore_dict(step)
+        if raw is None:
+            return None
+        return flax.serialization.from_state_dict(template_state, raw)
+
+
+def save_config_snapshot(train_dir: str, config: Any, name: str = "config.json") -> str:
+    """flags.txt-equivalent: dump the full nested config as JSON."""
+
+    def to_jsonable(obj):
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return {f.name: to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        if isinstance(obj, (list, tuple)):
+            return [to_jsonable(x) for x in obj]
+        if isinstance(obj, dict):
+            return {str(k): to_jsonable(v) for k, v in obj.items()}
+        return obj
+
+    os.makedirs(train_dir, exist_ok=True)
+    path = os.path.join(train_dir, name)
+    with open(path, "w") as f:
+        json.dump(to_jsonable(config), f, indent=2, default=str)
+    return path

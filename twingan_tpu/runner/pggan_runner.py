@@ -1,0 +1,196 @@
+"""CLI entry point for progressive-growth training.
+
+Reference parity: python pggan_runner.py --program_name=twingan ...
+(/root/reference/pggan_runner.py flags :42-57 plus the trainer flags the
+stages mutate). Typed dataclass configs replace the global tf.flags registry
+(SURVEY.md section 5.6); every stage snapshots its full config to
+config.json in its train dir.
+
+Example:
+    python -m twingan_tpu.runner.pggan_runner \
+        --program_name=twingan --train_dir=/tmp/run \
+        --dataset_dir=/data/human_records --target_dataset_dir=/data/anime_records \
+        --start_hw=4 --max_hw=64 --num_images_per_resolution=300000 \
+        --loss_architecture=dragan --generator_norm_type=batch_renorm \
+        --use_unet=true
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.runner.stage_runner import RunConfig, StageRunner
+from twingan_tpu.train.gan_trainer import GanTrainerConfig
+from twingan_tpu.train.losses import GanLossConfig
+from twingan_tpu.train.optimizers import OptimizerConfig
+from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Runner flags (reference pggan_runner.py).
+    p.add_argument("--program_name", default="twingan", choices=["twingan", "image_generation"])
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--start_hw", type=int, default=4)
+    p.add_argument("--max_hw", type=int, default=64)
+    p.add_argument("--num_images_per_resolution", type=int, default=300000)
+    p.add_argument("--batch_size", type=int, default=0, help="override the per-resolution schedule")
+    # Dataset flags.
+    p.add_argument("--dataset_name", default="image_only")
+    p.add_argument("--dataset_dir", default="")
+    p.add_argument("--dataset_split_name", default="train")
+    p.add_argument("--target_dataset_name", default="image_only")
+    p.add_argument("--target_dataset_dir", default="")
+    p.add_argument("--use_synthetic_data", type=_bool, default=False)
+    p.add_argument("--resize_mode", default="PAD")
+    p.add_argument("--color_space", default="rgb")
+    p.add_argument("--do_random_cropping", type=_bool, default=False)
+    # Model flags (reference nets/pggan.py).
+    p.add_argument("--generator_norm_type", default="batch_norm")
+    p.add_argument("--pggan_max_num_channels", type=int, default=256)
+    p.add_argument("--pggan_max_num_channels_dis", type=int, default=0)
+    p.add_argument("--do_pixel_norm", type=_bool, default=False)
+    p.add_argument("--equalized_learning_rate", type=_bool, default=False)
+    p.add_argument("--spectral_norm", type=_bool, default=False)
+    p.add_argument("--spectral_norm_in_non_discriminator", type=_bool, default=False)
+    p.add_argument("--use_res_block", type=_bool, default=False)
+    p.add_argument("--use_larger_filter_at_rgb_layer", type=_bool, default=False)
+    p.add_argument("--do_self_attention", type=_bool, default=False)
+    p.add_argument("--self_attention_hw", type=int, default=64)
+    p.add_argument("--pggan_unet_max_concat_hw", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # Loss flags (reference image_generation.py).
+    p.add_argument("--loss_architecture", default="dragan",
+                   choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
+    p.add_argument("--gan_weight", type=float, default=1.0)
+    p.add_argument("--gradient_penalty_lambda", type=float, default=10.0)
+    p.add_argument("--wgan_drift_loss_weight", type=float, default=0.0)
+    p.add_argument("--n_critic", type=int, default=2)
+    p.add_argument("--use_ttur", type=_bool, default=False)
+    p.add_argument("--discriminator_learning_rate", type=float, default=0.0004)
+    p.add_argument("--use_gdrop", type=_bool, default=False)
+    p.add_argument("--gdrop_coef", type=float, default=0.2)
+    p.add_argument("--gdrop_lim", type=float, default=0.5)
+    p.add_argument("--gdrop_exp", type=float, default=2.0)
+    # Optimizer flags (reference model_inheritor.py).
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--learning_rate", type=float, default=0.0001)
+    p.add_argument("--adam_beta1", type=float, default=0.5)
+    p.add_argument("--adam_beta2", type=float, default=0.99)
+    # TwinGAN flags (reference twingan.py).
+    p.add_argument("--l_cyc_weight", type=float, default=1.0)
+    p.add_argument("--do_l_cyc_gan", type=_bool, default=True)
+    p.add_argument("--l_content_weight", type=float, default=0.1)
+    p.add_argument("--use_style_embedding", type=_bool, default=False)
+    p.add_argument("--style_embed_size", type=int, default=16)
+    p.add_argument("--use_unet", type=_bool, default=False)
+    p.add_argument("--do_encoder_distillation", type=_bool, default=False)
+    p.add_argument("--distillation_weight", type=float, default=1.0)
+    p.add_argument("--distillation_start_hw", type=int, default=16)
+    p.add_argument("--source_embed_dim", type=int, default=0)
+    p.add_argument("--target_embed_dim", type=int, default=0)
+    # Cadence flags.
+    p.add_argument("--log_every_n_steps", type=int, default=10)
+    p.add_argument("--save_every_n_steps", type=int, default=2000)
+    p.add_argument("--log_image_every_n_iter", type=int, default=2000)
+    p.add_argument("--profile_stage_steps", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> RunConfig:
+    is_twin = args.program_name == "twingan"
+    model = PGGANConfig(
+        resolution=args.start_hw,
+        max_channels=args.pggan_max_num_channels,
+        max_channels_dis=args.pggan_max_num_channels_dis or None,
+        norm_type=args.generator_norm_type,
+        do_pixel_norm=args.do_pixel_norm,
+        equalized_lr=args.equalized_learning_rate,
+        spectral_norm=args.spectral_norm,
+        spectral_norm_in_non_discriminator=args.spectral_norm_in_non_discriminator,
+        use_res_block=args.use_res_block,
+        use_larger_filter_at_rgb_layer=args.use_larger_filter_at_rgb_layer,
+        do_self_attention=args.do_self_attention,
+        self_attention_hw=args.self_attention_hw,
+        unet_max_concat_hw=args.pggan_unet_max_concat_hw or None,
+        num_domains=2 if is_twin else 1,
+        style_dim=args.style_embed_size if (is_twin and args.use_style_embedding) else 0,
+        dtype=args.dtype,
+    )
+    loss = GanLossConfig(
+        architecture=args.loss_architecture,
+        gan_weight=args.gan_weight,
+        gradient_penalty_lambda=args.gradient_penalty_lambda,
+        wgan_drift_loss_weight=args.wgan_drift_loss_weight,
+    )
+    opt = OptimizerConfig(
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+    )
+    common = dict(
+        model=model, loss=loss, opt=opt, n_critic=args.n_critic,
+        use_ttur=args.use_ttur, discriminator_learning_rate=args.discriminator_learning_rate,
+        use_gdrop=args.use_gdrop, gdrop_coef=args.gdrop_coef,
+        gdrop_lim=args.gdrop_lim, gdrop_exp=args.gdrop_exp,
+    )
+    if is_twin:
+        trainer = TwinGANConfig(
+            **common,
+            l_cyc_weight=args.l_cyc_weight,
+            do_l_cyc_gan=args.do_l_cyc_gan,
+            l_content_weight=args.l_content_weight,
+            use_style_embedding=args.use_style_embedding,
+            style_embed_size=args.style_embed_size,
+            use_unet=args.use_unet,
+            do_encoder_distillation=args.do_encoder_distillation,
+            distillation_weight=args.distillation_weight,
+            distillation_start_hw=args.distillation_start_hw,
+            source_embed_dim=args.source_embed_dim,
+            target_embed_dim=args.target_embed_dim,
+        )
+    else:
+        trainer = GanTrainerConfig(**common)
+    return RunConfig(
+        program=args.program_name,
+        train_dir=args.train_dir,
+        start_hw=args.start_hw,
+        max_hw=args.max_hw,
+        num_images_per_resolution=args.num_images_per_resolution,
+        batch_schedule={r: args.batch_size for r in (4, 8, 16, 32, 64, 128, 256, 512)}
+        if args.batch_size
+        else None,
+        dataset_name=args.dataset_name,
+        dataset_dir=args.dataset_dir,
+        dataset_split=args.dataset_split_name,
+        target_dataset_name=args.target_dataset_name,
+        target_dataset_dir=args.target_dataset_dir,
+        use_synthetic_data=args.use_synthetic_data,
+        resize_mode=args.resize_mode,
+        color_space=args.color_space,
+        do_random_cropping=args.do_random_cropping,
+        trainer=trainer,
+        log_every_n_steps=args.log_every_n_steps,
+        save_every_n_steps=args.save_every_n_steps,
+        log_image_every_n_iter=args.log_image_every_n_iter,
+        profile_stage_steps=args.profile_stage_steps,
+        seed=args.seed,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    runner = StageRunner(config_from_args(args))
+    summary = runner.run()
+    print("run complete:", summary)
+
+
+if __name__ == "__main__":
+    main()

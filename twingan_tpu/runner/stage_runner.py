@@ -1,0 +1,320 @@
+"""Progressive-growth stage runner.
+
+Reference parity: /root/reference/pggan_runner.py.
+- stage plan: resolutions start_hw..max_hw doubling, (growing, stabilize)
+  per resolution (:90-104); per-stage train dirs '4', '4to8', '8', ...
+  (:106-109);
+- per-resolution batch-size schedules (:52-57) and steps per stage =
+  num_images_per_resolution / batch (:96);
+- skip-if-complete by checkpoint step (:112-122); warm start each stage from
+  the previous stage's checkpoint (:136-146) — here a pytree migration with
+  an explicit report;
+- flags snapshot per stage dir (model_inheritor.py:307).
+
+The TF1 graph rebuild per stage becomes: new static config -> new trainer ->
+re-jit (cheap, <= 8 stages); state crosses stages as data.
+
+Observability beyond the reference (SURVEY.md section 5.1): per-round
+steps/sec logging and optional jax.profiler traces per stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.data.datasets import get_dataset
+from twingan_tpu.data.pipeline import (
+    DevicePrefetcher,
+    SyntheticSource,
+    TFRecordSource,
+    UnpairedSource,
+)
+from twingan_tpu.data.preprocess import PreprocessConfig, augment_batch
+from twingan_tpu.data.tfrecord import list_shards
+from twingan_tpu.runner.checkpoint import CheckpointManager, save_config_snapshot
+from twingan_tpu.runner.migrate import migrate_state_dict
+from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
+from twingan_tpu.train.twingan_trainer import TwinGANTrainer, TwinGANConfig
+from twingan_tpu.utils.image_io import save_image_grid, stack_comparison
+
+import flax.serialization
+
+# Reference batch-size schedules (pggan_runner.py:52-57).
+PGGAN_BATCH_SCHEDULE = {4: 16, 8: 16, 16: 16, 32: 16, 64: 12, 128: 12, 256: 12, 512: 6}
+TWINGAN_BATCH_SCHEDULE = {4: 8, 8: 8, 16: 8, 32: 8, 64: 8, 128: 4, 256: 3, 512: 2}
+
+
+def stage_plan(start_hw: int, max_hw: int) -> list[tuple[int, bool]]:
+    """[(resolution, is_growing)] — growing first at each new resolution,
+    no growing stage at start_hw."""
+    plan = []
+    res = start_hw
+    while res <= max_hw:
+        if res != start_hw:
+            plan.append((res, True))
+        plan.append((res, False))
+        res *= 2
+    return plan
+
+
+def stage_dir_name(res: int, growing: bool) -> str:
+    return f"{res // 2}to{res}" if growing else str(res)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    program: str = "twingan"                 # twingan | image_generation
+    train_dir: str = "/tmp/twingan_tpu_train"
+    start_hw: int = 4
+    max_hw: int = 64
+    num_images_per_resolution: int = 300000
+    batch_schedule: Optional[dict] = None    # res -> batch size override
+    # Dataset (source domain / single dataset).
+    dataset_name: str = "image_only"
+    dataset_dir: str = ""
+    dataset_split: str = "train"
+    # Target domain dataset for unpaired programs.
+    target_dataset_name: str = "image_only"
+    target_dataset_dir: str = ""
+    use_synthetic_data: bool = False
+    resize_mode: str = "PAD"
+    color_space: str = "rgb"
+    do_random_cropping: bool = False
+    # Trainer template; resolution/growing/batch/max_steps set per stage.
+    trainer: Any = None
+    # Cadences.
+    log_every_n_steps: int = 10
+    save_every_n_steps: int = 2000
+    log_image_every_n_iter: int = 2000
+    keep_checkpoints: int = 3
+    profile_stage_steps: int = 0             # capture a trace of N rounds per stage
+    seed: int = 0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class StageRunner:
+    def __init__(self, cfg: RunConfig):
+        if cfg.trainer is None:
+            trainer = TwinGANConfig() if cfg.program == "twingan" else GanTrainerConfig()
+            cfg = cfg.replace(trainer=trainer)
+        self.cfg = cfg
+        self.metrics_log: list = []
+
+    # ------------------------------------------------------------------ #
+    def batch_size(self, res: int) -> int:
+        sched = self.cfg.batch_schedule or (
+            TWINGAN_BATCH_SCHEDULE if self.cfg.program == "twingan" else PGGAN_BATCH_SCHEDULE
+        )
+        return sched.get(res) or sched[max(sched)]
+
+    def steps_for_stage(self, res: int) -> int:
+        return max(1, self.cfg.num_images_per_resolution // self.batch_size(res))
+
+    def _build_trainer(self, res: int, growing: bool, steps: int):
+        batch = self.batch_size(res)
+        tcfg = self.cfg.trainer.replace(
+            model=self.cfg.trainer.model.replace(resolution=res, is_growing=growing),
+            batch_size=batch,
+            max_steps=steps,
+            grow_start_step=0,
+        )
+        if self.cfg.program == "twingan":
+            return TwinGANTrainer(tcfg), tcfg
+        return GanTrainer(tcfg), tcfg
+
+    def _preprocess_cfg(self, res: int) -> PreprocessConfig:
+        return PreprocessConfig(
+            output_hw=res,
+            resize_mode=self.cfg.resize_mode,
+            color_space=self.cfg.color_space,
+            do_random_cropping=self.cfg.do_random_cropping,
+            is_training=True,
+        )
+
+    def _build_data(self, res: int, batch: int) -> tuple[Iterator, Callable]:
+        """Returns (iterator over host batches, close_fn)."""
+        cfg = self.cfg
+        needs_pair = cfg.program == "twingan"
+        if cfg.use_synthetic_data or not cfg.dataset_dir:
+            keys = ("source", "target") if needs_pair else ("target",)
+            src = SyntheticSource(batch, self._preprocess_cfg(res).host_hw, seed=cfg.seed, keys=keys)
+            return iter(src), lambda: None
+        pp = self._preprocess_cfg(res)
+        a = TFRecordSource(
+            get_dataset(cfg.dataset_name),
+            list_shards(cfg.dataset_dir, cfg.dataset_split),
+            pp, batch, seed=cfg.seed,
+        )
+        if needs_pair:
+            b = TFRecordSource(
+                get_dataset(cfg.target_dataset_name, use_target=False),
+                list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
+                pp, batch, seed=cfg.seed + 1,
+            )
+            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2)
+            return iter(pf), pf.close
+        def to_target(it):
+            for item in it:
+                item = dict(item)
+                item.setdefault("target", item.get("source"))
+                yield item
+        pf = DevicePrefetcher(to_target(iter(a)), depth=2)
+        return iter(pf), pf.close
+
+    # ------------------------------------------------------------------ #
+    def run(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        os.makedirs(cfg.train_dir, exist_ok=True)
+        plan = stage_plan(cfg.start_hw, cfg.max_hw)
+        prev_stage_dir: Optional[str] = None
+        summary = {}
+        for res, growing in plan:
+            stage_dir = os.path.join(cfg.train_dir, stage_dir_name(res, growing))
+            steps = self.steps_for_stage(res)
+            cm = CheckpointManager(stage_dir)
+            latest = cm.latest_step()
+            if latest is not None and latest >= steps:
+                print(f"[stage {stage_dir_name(res, growing)}] complete at step {latest}; skipping")
+                prev_stage_dir = stage_dir
+                summary[stage_dir_name(res, growing)] = {"skipped": True, "step": latest}
+                continue
+            info = self._run_stage(res, growing, steps, stage_dir, prev_stage_dir, cm)
+            summary[stage_dir_name(res, growing)] = info
+            prev_stage_dir = stage_dir
+        return summary
+
+    def _run_stage(
+        self,
+        res: int,
+        growing: bool,
+        steps: int,
+        stage_dir: str,
+        prev_stage_dir: Optional[str],
+        cm: CheckpointManager,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        trainer, tcfg = self._build_trainer(res, growing, steps)
+        save_config_snapshot(stage_dir, {"run": cfg.replace(trainer=None), "trainer": tcfg})
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+
+        start_step = 0
+        latest = cm.latest_step()
+        if latest is not None:
+            state = cm.restore(state, latest)
+            start_step = int(state.step)
+            print(f"[stage {stage_dir_name(res, growing)}] resumed at step {start_step}")
+        elif prev_stage_dir is not None:
+            prev_cm = CheckpointManager(prev_stage_dir)
+            raw = prev_cm.restore_dict()
+            if raw is not None:
+                template = flax.serialization.to_state_dict(state)
+                migrated, report = migrate_state_dict(template, raw)
+                state = flax.serialization.from_state_dict(state, migrated)
+                print(
+                    f"[stage {stage_dir_name(res, growing)}] warm start from "
+                    f"{prev_stage_dir}: {len(report['carried'])} carried, "
+                    f"{len(report['fresh'])} fresh, "
+                    f"{len(report['shape_mismatch'])} shape-mismatched"
+                )
+
+        data_iter, close_data = self._build_data(res, trainer.cfg.batch_size)
+        pp = self._preprocess_cfg(res)
+        aug_key = jax.random.PRNGKey(cfg.seed + 13)
+        rng = jax.random.PRNGKey(cfg.seed + 17)
+        n_critic = trainer.cfg.n_critic
+        tag = stage_dir_name(res, growing)
+
+        def next_batches():
+            nonlocal aug_key
+            batches = []
+            for _ in range(n_critic):
+                raw = next(data_iter)
+                batch = {}
+                for key in ("source", "target"):
+                    if key in raw:
+                        aug_key, sub = jax.random.split(aug_key)
+                        batch[key] = augment_batch(sub, jnp.asarray(raw[key]), pp)
+                for key in ("source_embedding", "target_embedding", "conditional_labels"):
+                    if key in raw:
+                        batch[key] = jnp.asarray(raw[key])
+                batches.append(batch)
+            return batches
+
+        t_start = time.time()
+        last_log = t_start
+        profiled = False
+        try:
+            for step in range(start_step, steps):
+                if (
+                    cfg.profile_stage_steps
+                    and not profiled
+                    and step >= start_step + 2  # skip compile
+                ):
+                    jax.profiler.start_trace(os.path.join(stage_dir, "profile"))
+                state, metrics = trainer.round_step(state, next_batches(), rng)
+                if cfg.profile_stage_steps and not profiled and step >= start_step + 2 + cfg.profile_stage_steps:
+                    jax.profiler.stop_trace()
+                    profiled = True
+                cur = int(state.step)
+                if cur % cfg.log_every_n_steps == 0 or cur == steps:
+                    g = float(metrics.get("generator_loss", np.nan))
+                    d = float(metrics.get("discriminator_loss", np.nan))
+                    now = time.time()
+                    rate = cfg.log_every_n_steps / max(now - last_log, 1e-9)
+                    last_log = now
+                    rec = {"stage": tag, "step": cur, "g_loss": g, "d_loss": d,
+                           "rounds_per_sec": round(rate, 3)}
+                    self.metrics_log.append(rec)
+                    print(f"[stage {tag}] step {cur}/{steps} "
+                          f"g={g:.4f} d={d:.4f} {rate:.2f} rounds/s")
+                if cur % cfg.save_every_n_steps == 0 and cur > start_step:
+                    cm.save(cur, state, keep=cfg.keep_checkpoints)
+                if cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0:
+                    self._dump_samples(trainer, state, stage_dir, cur)
+            cm.save(int(state.step), state, keep=cfg.keep_checkpoints)
+        finally:
+            close_data()
+        wall = time.time() - t_start
+        done = int(state.step) - start_step
+        return {
+            "steps": int(state.step),
+            "wall_time_sec": round(wall, 1),
+            "rounds_per_sec": round(done / max(wall, 1e-9), 3),
+        }
+
+    # ------------------------------------------------------------------ #
+    def _dump_samples(self, trainer, state, stage_dir: str, step: int) -> None:
+        """Periodic sample grids (reference do_extra_train_step image dumps)."""
+        try:
+            out_dir = os.path.join(stage_dir, "generated_samples")
+            if isinstance(trainer, TwinGANTrainer):
+                res = trainer.cfg.model.resolution
+                rng = np.random.RandomState(31415)
+                src = jnp.asarray(rng.rand(4, res, res, 3).astype(np.float32))
+                out = np.asarray(trainer.translate(state, src, "s2t").astype(jnp.float32))
+                save_image_grid(
+                    os.path.join(out_dir, f"{step}_source_t_prime.png"),
+                    stack_comparison([np.asarray(src), out]),
+                )
+            else:
+                from twingan_tpu.models.pggan import noise_shape
+
+                rng = np.random.RandomState(314)
+                z = jnp.asarray(
+                    rng.standard_normal(noise_shape(trainer.cfg.model, 8)).astype(np.float32)
+                )
+                img = np.asarray(trainer.sample(state, z).astype(jnp.float32))
+                save_image_grid(os.path.join(out_dir, f"{step}.png"), img)
+        except Exception as e:  # sample dumps must never kill training
+            print(f"[sample dump failed: {e}]")
