@@ -1,0 +1,203 @@
+"""Inference CLI + export + eval subsystem tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.runner.checkpoint import CheckpointManager, save_config_snapshot
+from twingan_tpu.train.optimizers import OptimizerConfig
+from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+
+
+@pytest.fixture(scope="module")
+def trained_stage(tmp_path_factory):
+    """A minimal trained TwinGAN stage dir (config.json + checkpoint)."""
+    tmp = tmp_path_factory.mktemp("stage")
+    stage_dir = str(tmp / "8")
+    cfg = TwinGANConfig(
+        model=PGGANConfig(resolution=8, max_channels=16, num_domains=2),
+        batch_size=4,
+        opt=OptimizerConfig(learning_rate=1e-3),
+    )
+    trainer = TwinGANTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "source": jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32)),
+        "target": jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32)),
+    }
+    state, _ = trainer.g_step(state, batch, jax.random.PRNGKey(1))
+    save_config_snapshot(stage_dir, {"run": {}, "trainer": cfg})
+    CheckpointManager(stage_dir).save(int(state.step), state)
+    return stage_dir
+
+
+class TestConfigIO:
+    def test_roundtrip(self, trained_stage):
+        from twingan_tpu.runner.config_io import load_stage_config
+
+        _, tcfg = load_stage_config(trained_stage)
+        assert isinstance(tcfg, TwinGANConfig)
+        assert tcfg.model.resolution == 8
+        assert tcfg.model.num_domains == 2
+
+    def test_find_latest_stage(self, trained_stage, tmp_path):
+        from twingan_tpu.runner.config_io import find_latest_stage_dir
+
+        train_dir = os.path.dirname(trained_stage)
+        assert find_latest_stage_dir(train_dir) == trained_stage
+
+
+class TestImageInferer:
+    def test_infer_contract(self, trained_stage, tmp_path):
+        from twingan_tpu.infer.translate import ImageInferer
+
+        src = tmp_path / "face.png"
+        rng = np.random.RandomState(0)
+        PILImage.fromarray((rng.rand(40, 30, 3) * 255).astype(np.uint8)).save(src)
+        inferer = ImageInferer(trained_stage)
+        out = inferer.infer(str(src), str(tmp_path / "out.png"), return_image=True)
+        assert out.shape == (8, 8, 3)
+        assert os.path.exists(tmp_path / "out.png")
+        saved = np.asarray(PILImage.open(tmp_path / "out.png"))
+        assert saved.shape == (8, 8, 3)
+
+    def test_cli_folder_mode(self, trained_stage, tmp_path):
+        from twingan_tpu.infer.translate import main
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        rng = np.random.RandomState(1)
+        for i in range(3):
+            PILImage.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+                in_dir / f"{i}.png"
+            )
+        out_dir = tmp_path / "out"
+        main(
+            [
+                f"--model_path={trained_stage}",
+                f"--input_image_path={in_dir}",
+                f"--output_image_path={out_dir}",
+                "--batch_size=2",
+            ]
+        )
+        assert sorted(os.listdir(out_dir)) == ["0.png", "1.png", "2.png"]
+
+    def test_both_directions_differ(self, trained_stage, tmp_path):
+        from twingan_tpu.infer.translate import ImageInferer
+
+        img = (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8)
+        a = ImageInferer(trained_stage, direction="s2t").infer_batch([img])
+        b = ImageInferer(trained_stage, direction="t2s").infer_batch([img])
+        assert not np.allclose(a, b)
+
+
+class TestExport:
+    def test_jax_export_roundtrip(self, trained_stage, tmp_path):
+        from twingan_tpu.infer.export import export_jax, load_jax
+        from twingan_tpu.infer.translate import ImageInferer
+
+        inferer = ImageInferer(trained_stage)
+        path = export_jax(inferer, str(tmp_path / "export"), batch_size=2)
+        fn = load_jax(path)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+        got = np.asarray(fn(x))
+        want = np.asarray(
+            inferer.trainer.translate(inferer.state, x, "s2t").astype(jnp.float32)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestEvalMetrics:
+    def test_swd_eval_protocol(self, tmp_path):
+        from twingan_tpu.evals.metrics import swd_eval
+
+        rng = np.random.RandomState(0)
+        real = [rng.rand(8, 32, 32, 3).astype(np.float32) for _ in range(2)]
+        fake = [rng.rand(8, 32, 32, 3).astype(np.float32) for _ in range(2)]
+        path = str(tmp_path / "swd.txt")
+        table = swd_eval(jax.random.PRNGKey(0), real, fake, num_images=16, save_path=path, step=1)
+        assert set(table) == {32, 16}
+        text = open(path).read()
+        assert "res\treal\tfake" in text and "Average" in text
+
+    def test_swd_skips_small(self):
+        from twingan_tpu.evals.metrics import swd_eval
+
+        out = swd_eval(
+            jax.random.PRNGKey(0),
+            [np.zeros((4, 8, 8, 3), np.float32)],
+            [np.zeros((4, 8, 8, 3), np.float32)],
+            num_images=4,
+        )
+        assert out is None
+
+    def test_msssim_eval(self):
+        from twingan_tpu.evals.metrics import msssim_eval
+
+        rng = np.random.RandomState(0)
+        batches = [rng.rand(4, 176, 176, 3).astype(np.float32)]
+        score = msssim_eval(batches)
+        assert 0.0 <= score <= 1.0
+
+    def test_inception_score_uniform_vs_confident(self):
+        from twingan_tpu.evals.metrics import inception_score
+
+        rng = np.random.RandomState(0)
+        batches = [rng.rand(32, 4, 4, 3).astype(np.float32)]
+        # Uniform classifier -> score 1; confident diverse classifier -> > 1.
+        uniform, _ = inception_score(lambda x: jnp.zeros((x.shape[0], 10)), batches, splits=2)
+        assert uniform == pytest.approx(1.0, abs=1e-3)
+
+        def confident(x):
+            idx = np.arange(x.shape[0]) % 10
+            return jnp.asarray(np.eye(10, dtype=np.float32)[idx] * 50)
+
+        conf, _ = inception_score(confident, batches, splits=2)
+        assert conf > 5.0
+
+    def test_streaming_loss_eval(self):
+        from twingan_tpu.evals.metrics import streaming_loss_eval
+
+        batches = [{"x": np.full((2,), float(i))} for i in range(4)]
+        out = streaming_loss_eval(lambda b: {"mean_x": jnp.mean(b["x"])}, batches)
+        assert out["mean_x"] == pytest.approx(1.5)
+
+
+class TestGallery:
+    def test_html_gallery(self, tmp_path):
+        from twingan_tpu.evals.gallery import write_html_gallery
+
+        rng = np.random.RandomState(0)
+        items = {
+            "sources": rng.rand(3, 8, 8, 3).astype(np.float32),
+            "prediction": rng.rand(3, 1).astype(np.float32),
+        }
+        path = write_html_gallery(str(tmp_path / "g"), items)
+        text = open(path).read()
+        assert "<table" in text and "sources_0.jpg" in text
+        assert os.path.exists(tmp_path / "g" / "sources_2.jpg")
+
+    def test_embeddings_csv(self, tmp_path):
+        import csv as csvmod
+
+        from twingan_tpu.evals.gallery import write_embeddings_csv
+
+        rng = np.random.RandomState(0)
+        path = write_embeddings_csv(
+            str(tmp_path / "e.csv"),
+            ["a.png", "b.png"],
+            rng.rand(2, 4, 4, 2).astype(np.float32),
+            images=rng.rand(2, 8, 8, 3).astype(np.float32),
+            append=False,
+        )
+        rows = list(csvmod.reader(open(path)))
+        assert len(rows) == 2
+        assert rows[0][0] == "a.png"
+        assert len(rows[0]) == 1 + 32 + 1  # name + flattened embedding + base64
