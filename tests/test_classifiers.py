@@ -1,0 +1,143 @@
+"""Classifier zoo, factory, trainer, and Grad-CAM tests (reference
+nets_factory_test.py sweep + per-net shape tests + classifier trainer)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.models.classifiers import NETWORKS, PLANNED, get_network_fn
+from twingan_tpu.train.classifier_trainer import ClassifierConfig, ClassifierTrainer, _auc
+from twingan_tpu.train.optimizers import OptimizerConfig
+
+
+SMALL_HW = {
+    "lenet": 28, "cifarnet": 32, "alexnet_v2": 224, "vgg_a": 224, "vgg_16": 224,
+    "vgg_19": 224, "illust2vec": 64, "resnet_v1_50": 64, "resnet_v1_101": 64,
+    "resnet_v2_50": 64, "resnet_v2_101": 64, "mobilenet_v1": 64,
+}
+# The heavy ones get smoke-tested at reduced spatial size where the
+# architecture allows it; VGG/alexnet need >= 224 due to the 7x7/5x5 VALID fc.
+FAST_SWEEP = ["lenet", "cifarnet", "illust2vec", "resnet_v1_50", "resnet_v2_50", "mobilenet_v1"]
+
+
+class TestFactorySweep:
+    @pytest.mark.parametrize("name", FAST_SWEEP)
+    def test_logits_shape(self, name):
+        model = get_network_fn(name, num_classes=7)
+        hw = SMALL_HW[name]
+        x = jnp.ones((2, hw, hw, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        logits, eps = out
+        assert logits.shape == (2, 7)
+        assert "Logits" in eps
+
+    def test_vgg16_full_size(self):
+        model = get_network_fn("vgg_16", num_classes=5)
+        x = jnp.ones((1, 224, 224, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, eps = model.apply(variables, x)
+        assert logits.shape == (1, 5)
+        assert eps["conv5"].shape[1] == 14
+
+    def test_planned_raise(self):
+        with pytest.raises(NotImplementedError):
+            get_network_fn("inception_v3", 10)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_network_fn("not_a_net", 10)
+
+    def test_illust2vec_embedding_layer(self):
+        model = get_network_fn("illust2vec", num_classes=100)
+        x = jnp.ones((2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        _, eps = model.apply(variables, x)
+        assert eps["encode"].shape == (2, 1024)
+
+
+class TestClassifierTrainer:
+    def _cfg(self):
+        return ClassifierConfig(
+            network="lenet", num_classes=5, image_hw=28, batch_size=4,
+            opt=OptimizerConfig(optimizer="adam", learning_rate=1e-3),
+        )
+
+    def _batch(self, seed=0):
+        rng = np.random.RandomState(seed)
+        return {
+            "image": jnp.asarray(rng.rand(4, 28, 28, 3).astype(np.float32)),
+            "labels": jnp.asarray((rng.rand(4, 5) > 0.5).astype(np.float32)),
+        }
+
+    def test_train_steps_reduce_loss_on_fixed_batch(self):
+        trainer = ClassifierTrainer(self._cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = self._batch()
+        losses = []
+        for _ in range(10):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_predict_and_eval(self):
+        trainer = ClassifierTrainer(self._cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        probs = trainer.predict(state, self._batch()["image"])
+        assert probs.shape == (4, 5)
+        assert 0.0 <= float(probs.min()) and float(probs.max()) <= 1.0
+        metrics = trainer.evaluate(state, [jax.device_get(self._batch(i)) for i in range(2)])
+        assert set(metrics) == {"auc", "precision_at_thres", "recall_at_thres"}
+
+    def test_tag_output(self, tmp_path):
+        trainer = ClassifierTrainer(self._cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        imgs = np.random.RandomState(0).rand(2, 28, 28, 3).astype(np.float32)
+        path = trainer.write_tags(
+            state, imgs, ["a.png", "b.png"], [f"tag{i}" for i in range(5)],
+            str(tmp_path / "tags.txt"), threshold=0.0, top_k=3,
+        )
+        lines = open(path).read().splitlines()
+        assert len(lines) == 2 and lines[0].startswith("a.png\t")
+        assert len(lines[0].split("\t")[1].split(",")) == 3
+
+    def test_auc_golden(self):
+        scores = np.asarray([0.9, 0.8, 0.3, 0.2])
+        labels = np.asarray([1, 0, 1, 0])
+        # Pairs: (0.9>0.8)=1, (0.9>0.2)=1, (0.3<0.8)=0, (0.3>0.2)=1 -> 3/4.
+        assert _auc(scores, labels) == pytest.approx(0.75)
+
+
+class TestGradCam:
+    def test_heatmap_shape_and_range(self):
+        trainer = ClassifierTrainer(
+            ClassifierConfig(network="illust2vec", num_classes=4, image_hw=32, batch_size=2)
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
+        out = trainer.grad_cam_images(state, imgs, layer="conv5", class_index=1)
+        assert out.shape == (2, 32, 32, 3)
+        assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_probe_gradient_matches_activation_gradient(self):
+        # The probe trick must reproduce d(score)/d(acts) for a known model:
+        # f(x) = sum(3 * acts) with acts = 2*x -> d/d(acts) = 3 everywhere.
+        from twingan_tpu.models.grad_cam import grad_cam
+
+        def apply_fn(images, probes=None):
+            acts = images * 2.0
+            if probes and "layer" in probes:
+                acts = acts + probes["layer"]
+            logits = jnp.sum(acts, axis=(1, 2)) * 3.0  # [B, C]
+            return logits, {"layer": acts}
+
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, 4, 4, 2).astype(np.float32))
+        heat = grad_cam(apply_fn, imgs, "layer", class_index=0)
+        assert heat.shape == (1, 4, 4)
+        # weights = mean grad = 3 for channel 0, 0 for channel 1;
+        # cam = relu(3 * acts[...,0]) normalized -> proportional to imgs ch0.
+        expected = np.asarray(imgs[0, :, :, 0])
+        expected = expected / expected.max()
+        np.testing.assert_allclose(np.asarray(heat[0]), expected, rtol=1e-4)
