@@ -1,0 +1,131 @@
+"""Serving stack tests: face detection, clients, and the HTTP server driven
+through a real socket (reference interface/ stack, tested via the mock
+client like the reference's --debug mode)."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from twingan_tpu.serve.clients import MockTwinGANClient
+from twingan_tpu.serve.face_detection import FaceDetector, expand_box, square_crop
+from twingan_tpu.serve.server import TranslationService, make_handler
+
+
+class TestFaceDetection:
+    def test_expand_box_ratios(self):
+        # 100x100 box at (200, 200) in a big image:
+        x0, y0, x1, y1 = expand_box(200, 200, 100, 100, 1000, 1000)
+        assert (x0, x1) == (150, 350)  # 0.5 left + 0.5 right
+        assert (y0, y1) == (100, 330)  # 1.0 top + 0.3 bottom
+
+    def test_expand_box_clamps(self):
+        x0, y0, x1, y1 = expand_box(10, 10, 100, 100, 120, 120)
+        assert x0 == 0 and y0 == 0 and x1 == 120 and y1 == 120
+
+    def test_square_crop(self):
+        box = square_crop((0, 0, 100, 50), 200, 200)
+        x0, y0, x1, y1 = box
+        assert x1 - x0 == y1 - y0 == 100
+
+    def test_detector_loads_and_full_image_fallback(self):
+        det = FaceDetector()
+        img = (np.random.RandomState(0).rand(80, 120, 3) * 255).astype(np.uint8)
+        crops = det.crop_faces(img)
+        assert len(crops) >= 1
+        c = crops[0]
+        assert c.shape[0] == c.shape[1]  # square
+
+    def test_detector_available(self):
+        # The environment ships opencv cascades; the serving path depends on it.
+        assert FaceDetector().available
+
+
+@pytest.fixture()
+def server(tmp_path):
+    service = TranslationService(
+        client=MockTwinGANClient(image_hw=32),
+        detector=FaceDetector(),
+        output_dir=str(tmp_path / "outputs"),
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _png_bytes(hw=64):
+    buf = io.BytesIO()
+    arr = (np.random.RandomState(0).rand(hw, hw, 3) * 255).astype(np.uint8)
+    PILImage.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestServer:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+    def test_index_served(self, server):
+        with urllib.request.urlopen(server) as r:
+            body = r.read().decode()
+        assert "TwinGAN-TPU" in body
+
+    def test_post_raw_image_roundtrip(self, server):
+        req = urllib.request.Request(
+            server, data=_png_bytes(), headers={"Content-Type": "image/png"}
+        )
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        assert data["status"] == "success"
+        assert data["num_faces"] >= 1
+        # Fetch the combined output image back through the server.
+        with urllib.request.urlopen(server + data["outputs"][0]["combined"]) as r:
+            img = PILImage.open(io.BytesIO(r.read()))
+        assert img.size[0] == 2 * img.size[1]  # side-by-side combine
+
+    def test_post_multipart(self, server):
+        boundary = "----testboundary"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; filename="x.png"\r\n'
+            "Content-Type: image/png\r\n\r\n"
+        ).encode() + _png_bytes() + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            server, data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["status"] == "success"
+
+    def test_post_base64_json(self, server):
+        import base64
+
+        payload = json.dumps({"image": base64.b64encode(_png_bytes()).decode()}).encode()
+        req = urllib.request.Request(
+            server, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["status"] == "success"
+
+    def test_bad_requests(self, server):
+        # Garbage body -> clean 400, not a hung or crashed server.
+        req = urllib.request.Request(
+            server, data=b"not an image", headers={"Content-Type": "image/png"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code in (400, 500)
+        # Unknown path -> 404.
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{server}/nope")
+        assert err.value.code == 404
+        # Server still healthy afterwards.
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"

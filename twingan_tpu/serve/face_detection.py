@@ -1,0 +1,92 @@
+"""Face detection + crop for the serving pipeline.
+
+Reference parity: /root/reference/interface/face_detection_util.py — a
+frozen SSD face-detection graph with empirically-tuned crop expansion
+(left/right 0.5x, top 1.0x, bottom 0.3x of the detected box,
+:24-84). The external .pb is replaced by OpenCV's bundled Haar cascade
+(no downloaded asset needed); the expansion ratios, square-crop logic and
+max-faces cap are preserved.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+# Reference empirical expansion ratios (face_detection_util.py:24-30).
+WIDTH_EXPAND_LEFT = 0.5
+WIDTH_EXPAND_RIGHT = 0.5
+HEIGHT_EXPAND_TOP = 1.0
+HEIGHT_EXPAND_BOTTOM = 0.3
+
+def _rgb_to_gray(image: np.ndarray) -> np.ndarray:
+    return image @ np.asarray([0.299, 0.587, 0.114], np.float32)
+
+
+def expand_box(
+    x: int, y: int, w: int, h: int, img_w: int, img_h: int
+) -> tuple[int, int, int, int]:
+    """Apply the reference crop expansion and clamp to the image;
+    returns (x0, y0, x1, y1)."""
+    x0 = int(max(0, x - w * WIDTH_EXPAND_LEFT))
+    x1 = int(min(img_w, x + w * (1 + WIDTH_EXPAND_RIGHT)))
+    y0 = int(max(0, y - h * HEIGHT_EXPAND_TOP))
+    y1 = int(min(img_h, y + h * (1 + HEIGHT_EXPAND_BOTTOM)))
+    return x0, y0, x1, y1
+
+
+def square_crop(
+    box: tuple[int, int, int, int], img_w: int, img_h: int
+) -> tuple[int, int, int, int]:
+    """Grow the expanded box to a centered square clamped to the image
+    (the translate models take square inputs)."""
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0, y1 - y0
+    size = min(max(w, h), img_w, img_h)
+    cx, cy = (x0 + x1) // 2, (y0 + y1) // 2
+    x0 = int(np.clip(cx - size // 2, 0, img_w - size))
+    y0 = int(np.clip(cy - size // 2, 0, img_h - size))
+    return x0, y0, x0 + size, y0 + size
+
+
+class FaceDetector:
+    """Detects, expands, and square-crops faces (max_faces like the
+    reference's <=4 faces per request, interface/server.py:39)."""
+
+    def __init__(self, cascade_path: Optional[str] = None, max_faces: int = 4):
+        self.max_faces = max_faces
+        self._detector = None
+        try:
+            from twingan_tpu.serve.haar import HaarFaceDetector
+
+            self._detector = HaarFaceDetector(cascade_path)
+        except (FileNotFoundError, ValueError):
+            self._detector = None
+
+    @property
+    def available(self) -> bool:
+        return self._detector is not None
+
+    def detect(self, image: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Returns square crop boxes (x0, y0, x1, y1), largest first."""
+        if self._detector is None:
+            return []
+        gray = _rgb_to_gray(np.asarray(image, np.float32))
+        faces = self._detector.detect(gray, min_neighbors=3, min_size=max(24, min(image.shape[:2]) // 10))
+        boxes = []
+        h, w = image.shape[:2]
+        for (x, y, fw, fh) in faces:
+            boxes.append(square_crop(expand_box(x, y, fw, fh, w, h), w, h))
+        boxes.sort(key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
+        return boxes[: self.max_faces]
+
+    def crop_faces(self, image: np.ndarray) -> list[np.ndarray]:
+        """Cropped face images; falls back to the full (center-squared) image
+        when no face is found — the reference serves whole images then too."""
+        boxes = self.detect(image)
+        if not boxes:
+            h, w = image.shape[:2]
+            boxes = [square_crop((0, 0, w, h), w, h)]
+        return [image[y0:y1, x0:x1] for (x0, y0, x1, y1) in boxes]

@@ -1,0 +1,211 @@
+"""HTTP serving frontend: upload a photo, get translated face(s) back.
+
+Reference parity: /root/reference/interface/server.py — POST multipart image
+-> save -> face detect/crop -> per-face translate -> optional waifu2x 2x
+upscale -> side-by-side combine -> JSON response; GET serves the static
+frontend and generated images; automatic retry wrapper (:203-217) becomes
+plain exception handling per request (no shared TF session to wedge).
+
+Run:
+    python -m twingan_tpu.serve.server --model_path=/trained --port=8222
+    python -m twingan_tpu.serve.server --debug --port=8222   # mock model
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+from PIL import Image as PILImage
+
+from twingan_tpu.serve.clients import (
+    LocalTwinGANClient,
+    MockTwinGANClient,
+    RemoteTwinGANClient,
+    Waifu2xClient,
+)
+from twingan_tpu.serve.face_detection import FaceDetector
+from twingan_tpu.utils.image_io import imsave_float
+
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+MAX_UPLOAD_BYTES = 16 << 20
+
+
+class TranslationService:
+    """The request pipeline, shared by all handler threads."""
+
+    def __init__(self, client, detector: FaceDetector, output_dir: str,
+                 waifu2x: Optional[Waifu2xClient] = None, max_faces: int = 4):
+        self.client = client
+        self.detector = detector
+        self.output_dir = output_dir
+        self.waifu2x = waifu2x
+        self.max_faces = max_faces
+        self._lock = threading.Lock()
+        os.makedirs(output_dir, exist_ok=True)
+
+    def handle_image(self, image: np.ndarray) -> dict:
+        t0 = time.time()
+        request_id = uuid.uuid4().hex[:16]
+        faces = self.detector.crop_faces(image)[: self.max_faces]
+        outputs = []
+        for i, face in enumerate(faces):
+            with self._lock:  # one TPU dispatch at a time
+                translated = self.client.do_inference(face)
+            if self.waifu2x is not None:
+                upscaled = self.waifu2x.post_request(translated)
+                if upscaled is not None:
+                    translated = upscaled
+            # Side-by-side combine (reference server.py:242-252).
+            hw = translated.shape[0]
+            face_resized = np.asarray(
+                PILImage.fromarray(face).resize((hw, hw), PILImage.BILINEAR), np.float32
+            ) / 255.0
+            combined = np.concatenate([face_resized, translated], axis=1)
+            name = f"{request_id}_{i}.png"
+            imsave_float(os.path.join(self.output_dir, name), combined)
+            translated_name = f"{request_id}_{i}_translated.png"
+            imsave_float(os.path.join(self.output_dir, translated_name), translated)
+            outputs.append({"combined": f"/outputs/{name}",
+                            "translated": f"/outputs/{translated_name}"})
+        return {
+            "status": "success",
+            "request_id": request_id,
+            "num_faces": len(faces),
+            "outputs": outputs,
+            "latency_sec": round(time.time() - t0, 3),
+        }
+
+
+def _parse_multipart_image(body: bytes, content_type: str) -> Optional[np.ndarray]:
+    m = re.search(r'boundary="?([^";,]+)"?', content_type)
+    if not m:
+        return None
+    boundary = ("--" + m.group(1)).encode()
+    for part in body.split(boundary):
+        if b"\r\n\r\n" not in part:
+            continue
+        headers, payload = part.split(b"\r\n\r\n", 1)
+        if b"filename=" not in headers and b"image" not in headers.lower():
+            continue
+        payload = payload.rstrip(b"\r\n-")
+        try:
+            img = PILImage.open(io.BytesIO(payload))
+            return np.asarray(img.convert("RGB"), np.uint8)
+        except Exception:
+            continue
+    return None
+
+
+def make_handler(service: TranslationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path in ("/", "/index.html"):
+                self._file(os.path.join(STATIC_DIR, "index.html"), "text/html")
+            elif path.startswith("/outputs/"):
+                name = os.path.basename(path)
+                self._file(os.path.join(service.output_dir, name), "image/png")
+            elif path == "/healthz":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"status": "not_found"})
+
+        def _file(self, path: str, ctype: str):
+            if not os.path.exists(path):
+                self._json(404, {"status": "not_found"})
+                return
+            with open(path, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0 or length > MAX_UPLOAD_BYTES:
+                    self._json(400, {"status": "error", "message": "bad content length"})
+                    return
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                image = None
+                if ctype.startswith("multipart/form-data"):
+                    image = _parse_multipart_image(body, ctype)
+                elif ctype.startswith("image/"):
+                    image = np.asarray(PILImage.open(io.BytesIO(body)).convert("RGB"), np.uint8)
+                elif ctype.startswith("application/json"):
+                    import base64
+
+                    payload = json.loads(body)
+                    raw = base64.b64decode(payload["image"])
+                    image = np.asarray(PILImage.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+                if image is None:
+                    self._json(400, {"status": "error", "message": "no image found in request"})
+                    return
+                self._json(200, service.handle_image(image))
+            except Exception as e:  # noqa: BLE001 — always answer the client
+                self._json(500, {"status": "error", "message": str(e)})
+
+    return Handler
+
+
+def build_service(args) -> TranslationService:
+    if args.debug:
+        client = MockTwinGANClient(image_hw=args.image_hw or 64)
+    elif args.serving_url:
+        client = RemoteTwinGANClient(args.serving_url, image_hw=args.image_hw or 256)
+    else:
+        client = LocalTwinGANClient(args.model_path, args.image_hw, args.direction)
+    waifu2x = Waifu2xClient(args.waifu2x_url) if args.waifu2x_url else None
+    detector = FaceDetector(max_faces=args.max_faces)
+    return TranslationService(client, detector, args.output_dir, waifu2x, args.max_faces)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", default="")
+    p.add_argument("--serving_url", default="", help="TF-Serving REST endpoint (remote mode)")
+    p.add_argument("--image_hw", type=int, default=0)
+    p.add_argument("--direction", default="s2t", choices=["s2t", "t2s"])
+    p.add_argument("--port", type=int, default=8222)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--output_dir", default="/tmp/twingan_serve_outputs")
+    p.add_argument("--waifu2x_url", default="")
+    p.add_argument("--max_faces", type=int, default=4)
+    p.add_argument("--debug", action="store_true", help="mock model (no checkpoint needed)")
+    args = p.parse_args(argv)
+    if not args.debug and not args.serving_url and not args.model_path:
+        p.error("--model_path required (or --debug / --serving_url)")
+
+    service = build_service(args)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(mode={'mock' if args.debug else 'remote' if args.serving_url else 'local'})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
