@@ -186,3 +186,92 @@ class TestGanTrainer:
         }
         weights = [v for k, v in flat.items() if "renorm_mean_weight" in k]
         assert weights and all(float(w) > 0 for w in weights)
+
+
+class TestScanRounds:
+    def test_scan_matches_host_loop(self):
+        cfg = small_cfg(loss=GanLossConfig(architecture="hinge"))
+        trainer = GanTrainer(cfg)
+        n_rounds = 3
+        batches = [
+            [synthetic_batch(seed=10 * r + i) for i in range(cfg.n_critic)]
+            for r in range(n_rounds)
+        ]
+        # Host loop.
+        s_host = trainer.init_state(jax.random.PRNGKey(0))
+        for r in range(n_rounds):
+            s_host, _ = trainer.round_step(s_host, batches[r], jax.random.PRNGKey(5))
+        # Scanned: stack to [n_rounds, n_critic, ...].
+        s_scan = trainer.init_state(jax.random.PRNGKey(0))
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[
+                jax.tree_util.tree_map(lambda *mb: jnp.stack(mb), *batches[r])
+                for r in range(n_rounds)
+            ],
+        )
+        s_scan, metrics = trainer.scan_rounds(s_scan, stacked, jax.random.PRNGKey(5))
+        assert int(s_scan.step) == int(s_host.step) == n_rounds
+        assert metrics["generator_loss"].shape == (n_rounds,)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_host.params),
+            jax.tree_util.tree_leaves(s_scan.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_twingan_scan(self):
+        from twingan_tpu.models.config import PGGANConfig
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+        from twingan_tpu.train.optimizers import OptimizerConfig
+
+        cfg = TwinGANConfig(
+            model=PGGANConfig(resolution=8, max_channels=16, num_domains=2),
+            batch_size=2,
+            opt=OptimizerConfig(learning_rate=1e-3),
+        )
+        trainer = TwinGANTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        stacked = {
+            "source": jnp.asarray(rng.rand(2, 2, 2, 8, 8, 3).astype(np.float32)),
+            "target": jnp.asarray(rng.rand(2, 2, 2, 8, 8, 3).astype(np.float32)),
+        }
+        state, metrics = trainer.scan_rounds(state, stacked, jax.random.PRNGKey(1))
+        assert int(state.step) == 2
+        assert np.isfinite(np.asarray(metrics["generator_loss"])).all()
+
+
+class TestNetworkSelection:
+    def test_cyclegan_paired_training(self):
+        cfg = small_cfg(
+            model=PGGANConfig(resolution=16, max_channels=16),
+            generator_network="cyclegan",
+            cyclegan_num_channels=8,
+            loss=GanLossConfig(architecture="gan"),
+        )
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "source": jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
+            "target": jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
+        }
+        state, metrics = trainer.round_step(state, [batch, batch], jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["generator_loss"]))
+        assert np.isfinite(float(metrics["discriminator_loss"]))
+        out = trainer.sample(state, batch["source"])
+        assert out.shape == (4, 16, 16, 3)
+
+    def test_conditional_pggan_source_input(self):
+        # anime_faces-style conditional generation: 2D one-hot source becomes
+        # the generator input instead of noise.
+        cfg = small_cfg()
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "source": jnp.asarray(np.eye(trainer.cfg.model.noise_dim, dtype=np.float32)[:4]),
+            "target": jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32)),
+        }
+        state, metrics = trainer.g_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["generator_loss"]))

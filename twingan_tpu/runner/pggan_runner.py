@@ -99,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_n_steps", type=int, default=2000)
     p.add_argument("--log_image_every_n_iter", type=int, default=2000)
     p.add_argument("--profile_stage_steps", type=int, default=0)
+    p.add_argument("--rounds_per_scan", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -181,6 +182,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         save_every_n_steps=args.save_every_n_steps,
         log_image_every_n_iter=args.log_image_every_n_iter,
         profile_stage_steps=args.profile_stage_steps,
+        rounds_per_scan=args.rounds_per_scan,
         seed=args.seed,
     )
 

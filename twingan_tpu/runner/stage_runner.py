@@ -97,6 +97,9 @@ class RunConfig:
     log_image_every_n_iter: int = 2000
     keep_checkpoints: int = 3
     profile_stage_steps: int = 0             # capture a trace of N rounds per stage
+    # On-device lax.scan loop: compile this many rounds into one dispatch
+    # (1 = host loop). Big win at small resolutions where dispatch dominates.
+    rounds_per_scan: int = 1
     seed: int = 0
 
     def replace(self, **kw):
@@ -251,27 +254,52 @@ class StageRunner:
                 batches.append(batch)
             return batches
 
+        def scan_chunk(state, n_rounds):
+            """n_rounds rounds in one on-device lax.scan dispatch."""
+            per_round = [
+                jax.tree_util.tree_map(lambda *mb: jnp.stack(mb), *next_batches())
+                for _ in range(n_rounds)
+            ]
+            stacked = jax.tree_util.tree_map(lambda *r: jnp.stack(r), *per_round)
+            state, metrics = trainer.scan_rounds(state, stacked, rng)
+            return state, {k: v[-1] for k, v in metrics.items()}
+
         t_start = time.time()
         last_log = t_start
+        self._last_log_step = start_step
         profiled = False
         try:
-            for step in range(start_step, steps):
+            step = start_step
+            while step < steps:
                 if (
                     cfg.profile_stage_steps
                     and not profiled
                     and step >= start_step + 2  # skip compile
                 ):
                     jax.profiler.start_trace(os.path.join(stage_dir, "profile"))
-                state, metrics = trainer.round_step(state, next_batches(), rng)
+                if cfg.rounds_per_scan > 1:
+                    n = min(cfg.rounds_per_scan, steps - step)
+                    if n == cfg.rounds_per_scan:
+                        state, metrics = scan_chunk(state, n)
+                        step += n
+                    else:
+                        state, metrics = trainer.round_step(state, next_batches(), rng)
+                        step += 1
+                else:
+                    state, metrics = trainer.round_step(state, next_batches(), rng)
+                    step += 1
                 if cfg.profile_stage_steps and not profiled and step >= start_step + 2 + cfg.profile_stage_steps:
                     jax.profiler.stop_trace()
                     profiled = True
                 cur = int(state.step)
-                if cur % cfg.log_every_n_steps == 0 or cur == steps:
+                if cur % cfg.log_every_n_steps < max(1, cfg.rounds_per_scan) or cur >= steps:
                     g = float(metrics.get("generator_loss", np.nan))
                     d = float(metrics.get("discriminator_loss", np.nan))
                     now = time.time()
-                    rate = cfg.log_every_n_steps / max(now - last_log, 1e-9)
+                    rate = (cur - getattr(self, "_last_log_step", start_step)) / max(
+                        now - last_log, 1e-9
+                    )
+                    self._last_log_step = cur
                     last_log = now
                     rec = {"stage": tag, "step": cur, "g_loss": g, "d_loss": d,
                            "rounds_per_sec": round(rate, 3)}

@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.models.cyclegan import CycleGANDiscriminator, CycleGANGenerator
 from twingan_tpu.models.pggan import Discriminator, Generator, noise_shape
-from twingan_tpu.ops import renorm_clipping_schedule
+from twingan_tpu.train.base import BaseGanTrainer
 from twingan_tpu.train.losses import (
     GanLossConfig,
     discriminator_gan_loss,
@@ -56,18 +57,33 @@ class GanTrainerConfig:
     # Fade-in schedule: alpha = (step - grow_start) / (max_steps - grow_start).
     grow_start_step: int = 0
     max_steps: int = 300000
+    # Network selection (reference generator_network flag): pggan | cyclegan.
+    generator_network: str = "pggan"
+    cyclegan_num_channels: int = 64
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
 
-class GanTrainer:
+class GanTrainer(BaseGanTrainer):
     """Builds models/optimizers for one stage and exposes jitted steps."""
 
     def __init__(self, cfg: GanTrainerConfig):
         self.cfg = cfg
-        self.gen = Generator(cfg.model)
-        self.dis = Discriminator(cfg.model, do_gdrop=cfg.use_gdrop)
+        self.is_pggan = cfg.generator_network == "pggan"
+        if self.is_pggan:
+            self.gen = Generator(cfg.model)
+            self.dis = Discriminator(cfg.model, do_gdrop=cfg.use_gdrop)
+        elif cfg.generator_network == "cyclegan":
+            self.gen = CycleGANGenerator(
+                num_filters=cfg.cyclegan_num_channels,
+                num_outputs=cfg.model.image_channels,
+            )
+            self.dis = CycleGANDiscriminator(num_filters=cfg.cyclegan_num_channels)
+        else:
+            raise NotImplementedError(
+                f"generator_network {cfg.generator_network!r} is not implemented"
+            )
         self.gen_tx = build_optimizer(cfg.opt)
         d_opt_cfg = (
             cfg.opt.replace(learning_rate=cfg.discriminator_learning_rate)
@@ -82,15 +98,19 @@ class GanTrainer:
     def init_state(self, rng: jax.Array) -> GanTrainState:
         cfg = self.cfg
         kg, kd, kn = jax.random.split(rng, 3)
-        z = jnp.zeros(noise_shape(cfg.model, cfg.batch_size), jnp.float32)
         img = jnp.zeros(
             (cfg.batch_size, cfg.model.resolution, cfg.model.resolution, cfg.model.image_channels),
             jnp.float32,
         )
-        gen_params, gen_state = init_model(self.gen, kg, z, alpha=0.0)
-        dis_params, dis_state = init_model(
-            self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}
-        )
+        if self.is_pggan:
+            z = jnp.zeros(noise_shape(cfg.model, cfg.batch_size), jnp.float32)
+            gen_params, gen_state = init_model(self.gen, kg, z, alpha=0.0)
+            dis_params, dis_state = init_model(
+                self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}
+            )
+        else:
+            gen_params, gen_state = init_model(self.gen, kg, img)
+            dis_params, dis_state = init_model(self.dis, kd, img)
         params = {GEN: gen_params, DIS: dis_params}
         model_state = {GEN: gen_state, DIS: dis_state}
         return GanTrainState(
@@ -105,53 +125,62 @@ class GanTrainer:
         )
 
     # ------------------------------------------------------------------ #
-    # Shared forward helpers
+    # Generic model application (pggan vs cyclegan call signatures)
     # ------------------------------------------------------------------ #
-    def _alpha(self, step: jax.Array) -> jax.Array:
-        cfg = self.cfg
-        if not cfg.model.is_growing:
-            return jnp.float32(0)
-        denom = max(cfg.max_steps - cfg.grow_start_step, 1)
-        return (step - cfg.grow_start_step).astype(jnp.float32) / denom
+    def _apply_gen(self, params, model_state, gen_input, alpha, clip, train, update):
+        if self.is_pggan:
+            return apply_model(
+                self.gen, params, model_state, gen_input,
+                alpha=alpha, train=train, update_state=update, renorm_clip=clip,
+            )
+        return apply_model(self.gen, params, model_state, gen_input,
+                           train=train, update_state=update)
 
-    def _renorm_clip(self, step: jax.Array) -> Optional[dict]:
-        if self.cfg.model.norm_type != "batch_renorm":
-            return None
-        return renorm_clipping_schedule(step)
+    def _apply_dis(self, params, model_state, images, alpha, gdrop_strength,
+                   k_gdrop, train, update):
+        if self.is_pggan:
+            return apply_model(
+                self.dis, params, model_state, images,
+                alpha=alpha, gdrop_strength=gdrop_strength, train=train,
+                update_state=update, rngs={"gdrop": k_gdrop},
+            )
+        return apply_model(self.dis, params, model_state, images,
+                           train=train, update_state=update)
 
-    def growing_image(self, x: jax.Array, alpha: jax.Array) -> jax.Array:
-        """Alpha-blend the input with its 2x-downsampled+upsampled self during
-        fade-in (reference image_generation.get_growing_image :1001-1006)."""
-        if not self.cfg.model.is_growing:
-            return x
-        from twingan_tpu import ops
-
-        low = ops.upsample_nearest_2x(ops.avg_pool_2x(x))
-        return ops.blend(x, low, alpha)
+    def _gen_input(self, batch, key, batch_size):
+        """The generator input: the dataset 'source' item when present
+        (conditional generation / paired translation, reference
+        image_generation.py:246), else fresh noise."""
+        src = batch.get("source")
+        if src is not None:
+            return src.astype(jnp.float32)
+        return jax.random.normal(key, noise_shape(self.cfg.model, batch_size))
 
     # ------------------------------------------------------------------ #
-    # Train steps
+    # Train steps (jitted wrappers + scan loop in BaseGanTrainer)
     # ------------------------------------------------------------------ #
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def g_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    def _g_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         cfg = self.cfg
         alpha = self._alpha(state.step)
         clip = self._renorm_clip(state.step)
         k_noise, k_gdrop = jax.random.split(jax.random.fold_in(rng, state.critic_step))
         real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
-        z = jax.random.normal(k_noise, noise_shape(cfg.model, real.shape[0]))
+        z = self._gen_input(batch, k_noise, real.shape[0])
 
         def loss_fn(gen_params):
-            (fake, _), new_gen_state = apply_model(
-                self.gen, gen_params, state.model_state[GEN], z,
-                alpha=alpha, train=True, update_state=True, renorm_clip=clip,
+            (fake, _), new_gen_state = self._apply_gen(
+                gen_params, state.model_state[GEN], z, alpha, clip, True, True
             )
-            (fake_pred, _), _ = apply_model(
-                self.dis, state.params[DIS], state.model_state[DIS], fake,
-                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
-                update_state=False, rngs={"gdrop": k_gdrop},
+            (fake_pred, _), _ = self._apply_dis(
+                state.params[DIS], state.model_state[DIS], fake, alpha,
+                state.gdrop_strength, k_gdrop, True, False,
             )
             loss = generator_gan_loss(cfg.loss, fake_pred)
+            if cfg.generator_network == "cyclegan":
+                # Paired l1 term (reference add_loss :312-315).
+                from twingan_tpu.train.losses import l1_loss
+
+                loss = loss + l1_loss(real, fake)
             return loss, (new_gen_state, fake)
 
         (g_loss, (new_gen_state, fake)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -178,42 +207,37 @@ class GanTrainer:
         metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength}
         return new_state, metrics
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    def _d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         cfg = self.cfg
         alpha = self._alpha(state.step)
         clip = self._renorm_clip(state.step)
         key = jax.random.fold_in(rng, state.critic_step)
         k_noise, k_gdrop, k_gp = jax.random.split(key, 3)
         real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
-        z = jax.random.normal(k_noise, noise_shape(cfg.model, real.shape[0]))
+        z = self._gen_input(batch, k_noise, real.shape[0])
 
         # Generator forward without updates (reference: G update ops are
         # filtered out of D steps).
-        (fake, _), _ = apply_model(
-            self.gen, state.params[GEN], state.model_state[GEN], z,
-            alpha=alpha, train=True, update_state=False, renorm_clip=clip,
+        (fake, _), _ = self._apply_gen(
+            state.params[GEN], state.model_state[GEN], z, alpha, clip, True, False
         )
         fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(dis_params):
-            (fake_pred, _), new_dis_state = apply_model(
-                self.dis, dis_params, state.model_state[DIS], fake,
-                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
-                update_state=True, rngs={"gdrop": k_gdrop},
+            (fake_pred, _), new_dis_state = self._apply_dis(
+                dis_params, state.model_state[DIS], fake, alpha,
+                state.gdrop_strength, k_gdrop, True, True,
             )
-            (real_pred, _), _ = apply_model(
-                self.dis, dis_params, state.model_state[DIS], real,
-                alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
-                update_state=False, rngs={"gdrop": k_gdrop},
+            (real_pred, _), _ = self._apply_dis(
+                dis_params, state.model_state[DIS], real, alpha,
+                state.gdrop_strength, k_gdrop, True, False,
             )
             losses = discriminator_gan_loss(cfg.loss, fake_pred, real_pred)
 
             def dis_fn(images):
-                (pred, _), _ = apply_model(
-                    self.dis, dis_params, state.model_state[DIS], images,
-                    alpha=alpha, gdrop_strength=state.gdrop_strength, train=True,
-                    update_state=False, rngs={"gdrop": k_gdrop},
+                (pred, _), _ = self._apply_dis(
+                    dis_params, state.model_state[DIS], images, alpha,
+                    state.gdrop_strength, k_gdrop, True, False,
                 )
                 return pred
 
@@ -243,29 +267,16 @@ class GanTrainer:
         }
         return new_state, metrics
 
-    def round_step(self, state: GanTrainState, batches, rng: jax.Array):
-        """One n-critic round: 1 G update + (n_critic-1) D updates.
-
-        ``batches`` is a list of n_critic batch dicts (one per micro-step).
-        The reference order is G first (counter starts at 0,
-        image_generation.py:640-646).
-        """
-        state, g_metrics = self.g_step(state, batches[0], rng)
-        metrics = dict(g_metrics)
-        for i in range(1, self.cfg.n_critic):
-            state, d_metrics = self.d_step(state, batches[i], rng)
-            metrics.update(d_metrics)
-        return state, metrics
-
     # ------------------------------------------------------------------ #
     # Sampling
     # ------------------------------------------------------------------ #
     @functools.partial(jax.jit, static_argnums=0)
     def sample(self, state: GanTrainState, z: jax.Array) -> jax.Array:
-        """Inference-mode generation (moving statistics)."""
+        """Inference-mode generation (moving statistics). ``z`` is noise for
+        unconditional pggan, or the conditioning source otherwise
+        (the reference's custom_input_ph path)."""
         alpha = self._alpha(state.step)
-        (img, _), _ = apply_model(
-            self.gen, state.params[GEN], state.model_state[GEN], z,
-            alpha=alpha, train=False, update_state=False,
+        (img, _), _ = self._apply_gen(
+            state.params[GEN], state.model_state[GEN], z, alpha, None, False, False
         )
         return img

@@ -42,7 +42,7 @@ from twingan_tpu.models.pggan import (
     Generator,
     StyleEncoder,
 )
-from twingan_tpu.ops import renorm_clipping_schedule
+from twingan_tpu.train.base import BaseGanTrainer
 from twingan_tpu.train.losses import (
     GanLossConfig,
     cosine_distance_loss,
@@ -111,7 +111,7 @@ class TwinGANConfig:
             )
 
 
-class TwinGANTrainer:
+class TwinGANTrainer(BaseGanTrainer):
     def __init__(self, cfg: TwinGANConfig):
         self.cfg = cfg
         m = cfg.model
@@ -205,24 +205,6 @@ class TwinGANTrainer:
     # ------------------------------------------------------------------ #
     # Forward
     # ------------------------------------------------------------------ #
-    def _alpha(self, step: jax.Array) -> jax.Array:
-        cfg = self.cfg
-        if not cfg.model.is_growing:
-            return jnp.float32(0)
-        denom = max(cfg.max_steps - cfg.grow_start_step, 1)
-        return (step - cfg.grow_start_step).astype(jnp.float32) / denom
-
-    def _renorm_clip(self, step: jax.Array) -> Optional[dict]:
-        if self.cfg.model.norm_type != "batch_renorm":
-            return None
-        return renorm_clipping_schedule(step)
-
-    def growing_image(self, x: jax.Array, alpha: jax.Array) -> jax.Array:
-        if not self.cfg.model.is_growing:
-            return x
-        low = ops.upsample_nearest_2x(ops.avg_pool_2x(x))
-        return ops.blend(x, low, alpha)
-
     def _forward(
         self,
         params: Dict[str, Any],
@@ -375,8 +357,7 @@ class TwinGANTrainer:
     # ------------------------------------------------------------------ #
     # Train steps
     # ------------------------------------------------------------------ #
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def g_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    def _g_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         cfg = self.cfg
         alpha = self._alpha(state.step)
         clip = self._renorm_clip(state.step)
@@ -430,8 +411,7 @@ class TwinGANTrainer:
         metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength, **losses}
         return new_state, metrics
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    def _d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         cfg = self.cfg
         alpha = self._alpha(state.step)
         clip = self._renorm_clip(state.step)
@@ -506,15 +486,6 @@ class TwinGANTrainer:
         )
         metrics = {"discriminator_loss": d_loss, **losses}
         return new_state, metrics
-
-    def round_step(self, state: GanTrainState, batches, rng: jax.Array):
-        """One n-critic round: G first, then n_critic-1 D updates."""
-        state, metrics = self.g_step(state, batches[0], rng)
-        metrics = dict(metrics)
-        for i in range(1, self.cfg.n_critic):
-            state, d_metrics = self.d_step(state, batches[i], rng)
-            metrics.update(d_metrics)
-        return state, metrics
 
     # ------------------------------------------------------------------ #
     # Inference (the reference's sources_ph / custom_generated_* contract)
