@@ -44,7 +44,7 @@ class TestFactorySweep:
 
     def test_planned_raise(self):
         with pytest.raises(NotImplementedError):
-            get_network_fn("inception_v3", 10)
+            get_network_fn("inception_v4", 10)
 
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
@@ -141,3 +141,68 @@ class TestGradCam:
         expected = np.asarray(imgs[0, :, :, 0])
         expected = expected / expected.max()
         np.testing.assert_allclose(np.asarray(heat[0]), expected, rtol=1e-4)
+
+
+class TestInception:
+    def test_v3_shapes(self):
+        model = get_network_fn("inception_v3", num_classes=6)
+        x = jnp.ones((1, 299, 299, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, eps = model.apply(variables, x)
+        assert logits.shape == (1, 6)
+        assert eps["Mixed_5d"].shape[1:] == (35, 35, 288)
+        assert eps["Mixed_6e"].shape[1:] == (17, 17, 768)
+        assert eps["Mixed_7c"].shape[1:] == (8, 8, 2048)
+
+    def test_v1_shapes(self):
+        model = get_network_fn("inception_v1", num_classes=6)
+        x = jnp.ones((1, 224, 224, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, eps = model.apply(variables, x)
+        assert logits.shape == (1, 6)
+        assert eps["Mixed_5c"].shape[1:] == (7, 7, 1024)
+
+
+class TestPix2Pix:
+    def test_generator_and_discriminator(self):
+        from twingan_tpu.models.pix2pix import Pix2PixDiscriminator, Pix2PixGenerator
+
+        gen = Pix2PixGenerator(base_filters=8)
+        x = jnp.ones((2, 32, 32, 3))
+        gv = gen.init({"params": jax.random.PRNGKey(0)}, x)
+        out, eps = gen.apply(gv, x)
+        assert out.shape == (2, 32, 32, 3)
+        assert float(jnp.abs(out).max()) <= 1.0
+        dis = Pix2PixDiscriminator(base_filters=8)
+        dv = dis.init(jax.random.PRNGKey(1), jnp.concatenate([x, out], axis=-1))
+        pred, deps = dis.apply(dv, jnp.concatenate([x, out], axis=-1))
+        assert pred.shape == (2, 1)
+        assert "patch_logits" in deps
+
+
+class TestUtilMisc:
+    def test_safe_one_hot(self):
+        from twingan_tpu.utils.misc import safe_one_hot_encoding
+
+        out = np.asarray(safe_one_hot_encoding(jnp.asarray([0, 2, 7, -1]), 3))
+        np.testing.assert_array_equal(out[0], [1, 0, 0])
+        np.testing.assert_array_equal(out[2], [0, 0, 0])  # out of range
+        np.testing.assert_array_equal(out[3], [0, 0, 0])  # negative
+
+    def test_heatmap_and_patches(self):
+        from twingan_tpu.utils.misc import get_random_patches, grayscale_to_heatmap
+
+        g = jnp.linspace(0, 1, 16).reshape(1, 4, 4, 1)
+        heat = grayscale_to_heatmap(g)
+        assert heat.shape == (1, 4, 4, 3)
+        imgs = jnp.ones((2, 16, 16, 3))
+        patches = get_random_patches(jax.random.PRNGKey(0), imgs, 5, 7)
+        assert patches.shape == (7, 5, 5, 3)
+
+    def test_combine_dicts_and_boxes(self):
+        from twingan_tpu.utils.misc import box_iou, combine_dicts, find_boundary
+
+        assert combine_dicts({"a": {"x": 1}, "b": {"x": 2}}) == {"a_x": 1, "b_x": 2}
+        assert box_iou((0, 0, 2, 2), (1, 1, 3, 3)) == pytest.approx(1 / 7)
+        assert find_boundary(lambda x: x >= 5, 0, 10) == 5
+        assert find_boundary(lambda x: False, 0, 10) == 11

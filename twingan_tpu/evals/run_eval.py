@@ -1,0 +1,163 @@
+"""Evaluation CLI: the is_training=False branches of the reference's
+GeneralModel.main dispatcher (model_inheritor.py:1132-1279).
+
+Modes (--mode):
+- loss        streaming means of every TwinGAN loss over eval batches
+- swd         sliced Wasserstein protocol on real vs translated images
+- msssim      MS-SSIM between source-translated and target sets (and the
+              identity-fidelity gate: translate(s) vs s cycle quality)
+- eval_debug  HTML gallery of sources / translations / cycles
+- output      embedding CSV dump (encoded content per image)
+
+    python -m twingan_tpu.evals.run_eval --mode=swd \
+        --model_path=/trained --dataset_dir=... --target_dataset_dir=... \
+        --eval_dir=/tmp/eval [--num_images=8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from twingan_tpu.data.datasets import get_dataset
+from twingan_tpu.data.pipeline import SyntheticSource, TFRecordSource, UnpairedSource
+from twingan_tpu.data.preprocess import PreprocessConfig
+from twingan_tpu.data.tfrecord import list_shards
+from twingan_tpu.evals.gallery import write_embeddings_csv, write_html_gallery
+from twingan_tpu.evals.metrics import msssim_eval, pairwise_msssim, swd_eval
+from twingan_tpu.infer.translate import ImageInferer
+
+
+def build_batches(args, hw: int):
+    """Yields {source, target} float batches at hw."""
+    if args.use_synthetic_data or not args.dataset_dir:
+        src = SyntheticSource(args.batch_size, hw, seed=args.seed, keys=("source", "target"))
+        it = iter(src)
+        while True:
+            yield next(it)
+    else:
+        pp = PreprocessConfig(output_hw=hw, resize_mode=args.resize_mode, is_training=False)
+        a = TFRecordSource(get_dataset(args.dataset_name),
+                           list_shards(args.dataset_dir, args.dataset_split_name),
+                           pp, args.batch_size, seed=args.seed, repeat=True)
+        b = TFRecordSource(get_dataset(args.target_dataset_name),
+                           list_shards(args.target_dataset_dir or args.dataset_dir,
+                                       args.dataset_split_name),
+                           pp, args.batch_size, seed=args.seed + 1, repeat=True)
+        yield from iter(UnpairedSource(a, b))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", required=True,
+                   choices=["loss", "swd", "msssim", "eval_debug", "output"])
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--eval_dir", default="/tmp/twingan_eval")
+    p.add_argument("--dataset_name", default="image_only")
+    p.add_argument("--dataset_dir", default="")
+    p.add_argument("--target_dataset_name", default="image_only")
+    p.add_argument("--target_dataset_dir", default="")
+    p.add_argument("--dataset_split_name", default="train")
+    p.add_argument("--use_synthetic_data", action="store_true")
+    p.add_argument("--resize_mode", default="PAD")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_images", type=int, default=512)
+    p.add_argument("--swd_num_images", type=int, default=8192)
+    p.add_argument("--output_single_file_name", default="embeddings.csv")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    inferer = ImageInferer(args.model_path)
+    hw = inferer.image_hw
+    os.makedirs(args.eval_dir, exist_ok=True)
+    translate = lambda x: np.asarray(
+        inferer.trainer.translate(inferer.state, jnp.asarray(x), "s2t").astype(jnp.float32)
+    )
+    batches = build_batches(args, hw)
+
+    if args.mode == "loss":
+        from twingan_tpu.evals.metrics import streaming_loss_eval
+
+        trainer, state = inferer.trainer, inferer.state
+
+        def loss_fn(batch):
+            # One forward in eval mode; report the generator-side losses.
+            _, metrics = trainer.g_step(
+                jax.tree_util.tree_map(jnp.asarray, state), batch, jax.random.PRNGKey(0)
+            )
+            return {k: v for k, v in metrics.items() if np.ndim(v) == 0}
+
+        n = max(1, args.num_images // args.batch_size)
+        results = streaming_loss_eval(loss_fn, batches, num_batches=n)
+        out = os.path.join(args.eval_dir, "eval_losses.txt")
+        with open(out, "w") as f:
+            for k, v in sorted(results.items()):
+                f.write(f"{k}\t{v:.6f}\n")
+        print({k: round(v, 4) for k, v in results.items()})
+        print("written:", out)
+
+    elif args.mode == "swd":
+        reals, fakes, n = [], [], 0
+        for batch in batches:
+            reals.append(np.asarray(batch["target"], np.float32))
+            fakes.append(translate(batch["source"]))
+            n += len(reals[-1])
+            if n >= args.swd_num_images:
+                break
+        path = os.path.join(args.eval_dir, f"swd_eval_step_0_{n}_images.txt")
+        table = swd_eval(jax.random.PRNGKey(args.seed), reals, fakes,
+                         num_images=args.swd_num_images, save_path=path)
+        if table is None:
+            print("resolution < 16: SWD skipped (reference behavior)")
+        else:
+            print("SWD x1e3 per resolution:", table)
+            print("written:", path)
+
+    elif args.mode == "msssim":
+        fakes, n = [], 0
+        for batch in batches:
+            fakes.append(translate(batch["source"]))
+            n += len(fakes[-1])
+            if n >= args.num_images:
+                break
+        diversity = msssim_eval(fakes)
+        print(f"translated-set MS-SSIM diversity (lower = more diverse): {diversity:.4f}")
+
+    elif args.mode == "eval_debug":
+        batch = next(batches)
+        items = {
+            "sources": np.asarray(batch["source"], np.float32),
+            "targets": np.asarray(batch["target"], np.float32),
+            "t_prime": translate(batch["source"]),
+        }
+        path = write_html_gallery(os.path.join(args.eval_dir, "eval_debug"), items)
+        print("written:", path)
+
+    elif args.mode == "output":
+        from twingan_tpu.train.state import apply_model
+        from twingan_tpu.train.twingan_trainer import ENC
+
+        trainer, state = inferer.trainer, inferer.state
+        written = 0
+        path = os.path.join(args.eval_dir, args.output_single_file_name)
+        for batch in batches:
+            imgs = jnp.asarray(batch["source"])
+            (code, _), _ = apply_model(
+                trainer.enc, state.params[ENC], state.model_state[ENC], imgs,
+                domain=0, train=False,
+            )
+            names = [f"img_{written + i}" for i in range(len(imgs))]
+            write_embeddings_csv(path, names, np.asarray(code), append=written > 0)
+            written += len(imgs)
+            if written >= args.num_images:
+                break
+        print(f"wrote {written} embeddings to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -267,6 +267,12 @@ class MobileNetV1(nn.Module):
         return logits, eps
 
 
+def _inception(name):
+    from twingan_tpu.models import inception
+
+    return getattr(inception, name)
+
+
 NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "lenet": LeNet,
     "cifarnet": CifarNet,
@@ -280,13 +286,14 @@ NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "resnet_v2_50": functools.partial(ResNet, blocks=(3, 4, 6, 3), preact=True),
     "resnet_v2_101": functools.partial(ResNet, blocks=(3, 4, 23, 3), preact=True),
     "mobilenet_v1": MobileNetV1,
+    "inception_v1": lambda **kw: _inception("InceptionV1")(**kw),
+    "inception_v3": lambda **kw: _inception("InceptionV3")(**kw),
 }
 
 # Planned (reference nets the factory knows about but that are not yet
 # re-implemented in this framework).
-PLANNED = ("inception_v1", "inception_v2", "inception_v3", "inception_v4",
-           "inception_resnet_v2", "nasnet_mobile", "nasnet_large", "overfeat",
-           "resnet_v2_layernorm")
+PLANNED = ("inception_v2", "inception_v4", "inception_resnet_v2",
+           "nasnet_mobile", "nasnet_large", "overfeat", "resnet_v2_layernorm")
 
 
 def get_network_fn(name: str, num_classes: int, **kwargs) -> nn.Module:

@@ -1,0 +1,93 @@
+"""Miscellaneous helpers (reference util_misc.py equivalents).
+
+Only the pieces with meaning outside TF1 graph-land are re-implemented:
+- safe_one_hot_encoding (:89-101): out-of-range labels -> all-zero rows;
+- grayscale_to_heatmap (:104-128): blue->red colormap for debug images;
+- get_random_patches (:131-160): random square patches from a batch;
+- combine_dicts (:167-173): end-point namespacing;
+- face-box geometry (:293-335): IoU + box containment used by the serving
+  crop logic;
+- find_boundary (:338-382): binary boundary search over a predicate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def safe_one_hot_encoding(labels: jax.Array, num_classes: int, dtype=jnp.float32) -> jax.Array:
+    """One-hot with out-of-range labels mapping to all-zeros (the reference
+    pads a zero row and reduce-maxes, util_misc.py:89-101)."""
+    labels = jnp.asarray(labels)
+    valid = (labels >= 0) & (labels < num_classes)
+    hot = jax.nn.one_hot(jnp.where(valid, labels, 0), num_classes, dtype=dtype)
+    return hot * valid.astype(dtype)[..., None]
+
+
+def grayscale_to_heatmap(gray: jax.Array, is_bgr: bool = False) -> jax.Array:
+    """[...,1] grayscale in [0,1] -> RGB heatmap (blue=low, red=high)."""
+    g = jnp.clip(gray[..., 0] if gray.shape[-1] == 1 else gray, 0.0, 1.0)
+    r = jnp.clip(2.0 * g - 1.0, 0.0, 1.0)
+    b = jnp.clip(1.0 - 2.0 * g, 0.0, 1.0)
+    green = 1.0 - r - b
+    channels = [b, green, r] if is_bgr else [r, green, b]
+    return jnp.stack(channels, axis=-1)
+
+
+def get_random_patches(key: jax.Array, images: jax.Array, patch_hw: int, num_patches: int) -> jax.Array:
+    """[N, patch_hw, patch_hw, C] random patches sampled uniformly from the
+    batch (reference util_misc.py:131-160)."""
+    b, h, w, c = images.shape
+    kb, ky, kx = jax.random.split(key, 3)
+    bi = jax.random.randint(kb, (num_patches,), 0, b)
+    ys = jax.random.randint(ky, (num_patches,), 0, h - patch_hw + 1)
+    xs = jax.random.randint(kx, (num_patches,), 0, w - patch_hw + 1)
+
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(images[i], (y, x, 0), (patch_hw, patch_hw, c))
+
+    return jax.vmap(one)(bi, ys, xs)
+
+
+def combine_dicts(dict_of_dicts: Mapping[str, Mapping[str, object]]) -> Dict[str, object]:
+    """{'gen': {'output': x}} -> {'gen_output': x} (end-point namespacing)."""
+    out: Dict[str, object] = {}
+    for prefix, sub in dict_of_dicts.items():
+        for k, v in sub.items():
+            out[f"{prefix}_{k}"] = v
+    return out
+
+
+def box_iou(a, b) -> float:
+    """IoU of two (x0, y0, x1, y1) boxes."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    ix = max(0, min(ax1, bx1) - max(ax0, bx0))
+    iy = max(0, min(ay1, by1) - max(ay0, by0))
+    inter = ix * iy
+    union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def box_contains(outer, inner) -> bool:
+    return (outer[0] <= inner[0] and outer[1] <= inner[1]
+            and outer[2] >= inner[2] and outer[3] >= inner[3])
+
+
+def find_boundary(predicate: Callable[[int], bool], lo: int, hi: int) -> int:
+    """Smallest x in [lo, hi] with predicate(x) True, assuming monotonicity
+    (reference util_misc.py:338-382 binary search); hi+1 if none."""
+    result = hi + 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if predicate(mid):
+            result = mid
+            hi = mid - 1
+        else:
+            lo = mid + 1
+    return result
