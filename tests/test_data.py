@@ -323,3 +323,98 @@ class TestPipeline:
         assert set(batch) == {"source", "target"}
         assert isinstance(batch["source"], jax.Array)
         pf.close()
+
+
+class TestExtraConverters:
+    def test_tagged_images_converter(self, tmp_path):
+        from twingan_tpu.data.converters import convert_tagged_images
+        from twingan_tpu.data.tfrecord import TFRecordReader, list_shards
+        from twingan_tpu.data import get_dataset
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            PILImage.fromarray((rng.rand(20, 20, 3) * 255).astype(np.uint8)).save(
+                d / f"p{i}.png"
+            )
+        tagmap = tmp_path / "tags.tsv"
+        tagmap.write_text("p0.png\tblue_hair,smile\np1.png\tred_hair\n")
+        out = str(tmp_path / "rec")
+        n = convert_tagged_images(str(d), str(tagmap), out, num_shards=1)
+        assert n == 2  # only mapped files
+        spec = get_dataset("danbooru_2_illust2vec")
+        item = spec.parse(TFRecordReader(list_shards(out, "train")[0])[0])
+        assert str(item["label_text"]) == "blue_hair,smile"
+
+    def test_faces_converter_runs(self, tmp_path):
+        from twingan_tpu.data.converters import convert_faces_from_images
+
+        d = tmp_path / "photos"
+        d.mkdir()
+        # Copy a real portrait so the detector finds a face.
+        import shutil
+
+        shutil.copy(
+            "/root/reference/demo/web_interface_input/emma-watson-portrait.jpg",
+            d / "face.jpg",
+        )
+        out = str(tmp_path / "rec")
+        n = convert_faces_from_images(str(d), out, num_shards=1, min_face_hw=32)
+        assert n >= 1
+
+
+class TestPreprocessingFactory:
+    def test_all_variants_shapes(self):
+        from twingan_tpu.data.preprocessing_factory import get_preprocessing
+
+        key = jax.random.PRNGKey(0)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+        for name, hw in [("danbooru", 32), ("inception", 32), ("vgg", 32),
+                         ("cifarnet", 32), ("lenet", 28)]:
+            for training in (False, True):
+                fn = get_preprocessing(name, hw, is_training=training)
+                out = fn(key, imgs)
+                assert out.shape[1] == hw and out.shape[2] == hw, (name, training)
+
+    def test_inception_range_and_postprocess(self):
+        from twingan_tpu.data.preprocessing_factory import get_postprocessing, get_preprocessing
+
+        key = jax.random.PRNGKey(0)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+        out = get_preprocessing("inception", 32)(key, imgs)
+        assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+        back = get_postprocessing("inception")(out)
+        assert float(back.min()) >= 0.0 and float(back.max()) <= 1.0
+
+    def test_vgg_mean_subtraction(self):
+        from twingan_tpu.data.preprocessing_factory import VGG_MEANS_RGB, get_preprocessing
+
+        key = jax.random.PRNGKey(0)
+        imgs = jnp.full((1, 64, 64, 3), 0.5, jnp.float32)
+        out = get_preprocessing("vgg", 32)(key, imgs)
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, 0]), 127.5 - np.asarray(VGG_MEANS_RGB), atol=1.0
+        )
+
+    def test_cifarnet_standardized(self):
+        from twingan_tpu.data.preprocessing_factory import get_preprocessing
+
+        key = jax.random.PRNGKey(0)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        out = np.asarray(get_preprocessing("cifarnet", 32)(key, imgs))
+        np.testing.assert_allclose(out.mean(axis=(1, 2, 3)), 0.0, atol=1e-4)
+
+    def test_summary_writer(self, tmp_path):
+        from twingan_tpu.utils.summary import SummaryWriter
+
+        w = SummaryWriter(str(tmp_path / "logs"))
+        w.scalars(1, {"loss": 0.5})
+        w.images(1, "samples", np.random.RandomState(0).rand(2, 8, 8, 3))
+        w.close()
+        import json
+
+        lines = open(tmp_path / "logs" / "metrics.jsonl").read().splitlines()
+        assert json.loads(lines[0])["loss"] == 0.5
+        # TB event file written when tf is available.
+        assert any(f.startswith("events") for f in os.listdir(tmp_path / "logs"))

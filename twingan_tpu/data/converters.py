@@ -225,3 +225,92 @@ def convert_image_pairs(
                 )
                 count += 1
     return count
+
+
+def convert_faces_from_images(
+    image_dir: str,
+    out_dir: str,
+    dataset_name: str = "anime_faces",
+    split: str = "train",
+    num_shards: int = 4,
+    min_face_hw: int = 48,
+    tags_fn: Optional[Callable[[str], str]] = None,
+) -> int:
+    """Detect + crop faces from raw photos into image records.
+
+    Reference parity: datasets/convert_anime_faces_from_object_detection.py
+    (crops faces from detection tfrecords with empirical box expansion). The
+    external detection tfrecords are replaced by the framework's own face
+    detector (serve/face_detection.py) with the same expansion ratios.
+    ``tags_fn(filename) -> 'tag1,tag2'`` optionally attaches the
+    anime_faces-style class text.
+    """
+    from PIL import Image as PILImage
+
+    from twingan_tpu.data.example import encode_example
+    from twingan_tpu.serve.face_detection import FaceDetector
+
+    detector = FaceDetector(max_faces=16)
+    paths = list_images(image_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    per_shard = max(1, (len(paths) + num_shards - 1) // num_shards)
+    for shard in range(num_shards):
+        chunk = paths[shard * per_shard : (shard + 1) * per_shard]
+        if not chunk and shard > 0:
+            continue
+        with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
+            for path in chunk:
+                try:
+                    img = np.asarray(PILImage.open(path).convert("RGB"), np.uint8)
+                except Exception:
+                    continue
+                for i, (x0, y0, x1, y1) in enumerate(detector.detect(img)):
+                    if x1 - x0 < min_face_hw:
+                        continue
+                    crop = img[y0:y1, x0:x1]
+                    buf = io.BytesIO()
+                    PILImage.fromarray(crop).save(buf, format="JPEG", quality=95)
+                    feats = {
+                        "image/encoded": buf.getvalue(),
+                        "image/format": b"jpeg",
+                        "image/filename": f"{os.path.basename(path)}_{i}".encode(),
+                    }
+                    if tags_fn is not None:
+                        feats["image/class/text"] = tags_fn(os.path.basename(path)).encode()
+                    w.write(encode_example(feats))
+                    count += 1
+    return count
+
+
+def convert_tagged_images(
+    image_dir: str,
+    tags_file: str,
+    out_dir: str,
+    dataset_name: str = "danbooru_2_illust2vec",
+    split: str = "train",
+    num_shards: int = 4,
+    separator: str = "\t",
+) -> int:
+    """Images + a filename->tags map file -> tagged records
+    (reference convert_danbooru_data.py with its tags.xml vocabulary; the
+    map file is 'filename<TAB>tag1,tag2' per line).
+    """
+    from twingan_tpu.data.example import encode_example
+
+    tags: dict[str, str] = {}
+    with open(tags_file, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(separator)
+            if len(parts) >= 2:
+                tags[parts[0]] = parts[1]
+
+    def extra(filename: str) -> Optional[dict]:
+        if filename not in tags:
+            return None
+        return {"image/class/text": tags[filename].encode()}
+
+    return convert_image_folder(
+        image_dir, out_dir, dataset_name=dataset_name, split=split,
+        num_shards=num_shards, extra_features=extra,
+    )

@@ -45,6 +45,7 @@ from twingan_tpu.runner.migrate import migrate_state_dict
 from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
 from twingan_tpu.train.twingan_trainer import TwinGANTrainer, TwinGANConfig
 from twingan_tpu.utils.image_io import save_image_grid, stack_comparison
+from twingan_tpu.utils.summary import SummaryWriter
 
 import flax.serialization
 
@@ -231,6 +232,7 @@ class StageRunner:
                     f"{len(report['shape_mismatch'])} shape-mismatched"
                 )
 
+        writer = SummaryWriter(os.path.join(stage_dir, "logs"))
         data_iter, close_data = self._build_data(res, trainer.cfg.batch_size)
         pp = self._preprocess_cfg(res)
         aug_key = jax.random.PRNGKey(cfg.seed + 13)
@@ -304,6 +306,9 @@ class StageRunner:
                     rec = {"stage": tag, "step": cur, "g_loss": g, "d_loss": d,
                            "rounds_per_sec": round(rate, 3)}
                     self.metrics_log.append(rec)
+                    writer.scalars(cur, {k: v for k, v in metrics.items()
+                                         if np.ndim(v) == 0})
+                    writer.scalars(cur, {"rounds_per_sec": rate})
                     print(f"[stage {tag}] step {cur}/{steps} "
                           f"g={g:.4f} d={d:.4f} {rate:.2f} rounds/s")
                 if cur % cfg.save_every_n_steps == 0 and cur > start_step:
@@ -313,6 +318,7 @@ class StageRunner:
             cm.save(int(state.step), state, keep=cfg.keep_checkpoints)
         finally:
             close_data()
+            writer.close()
         wall = time.time() - t_start
         done = int(state.step) - start_step
         return {
@@ -335,7 +341,7 @@ class StageRunner:
                     os.path.join(out_dir, f"{step}_source_t_prime.png"),
                     stack_comparison([np.asarray(src), out]),
                 )
-            else:
+            elif getattr(trainer, "is_pggan", True):
                 from twingan_tpu.models.pggan import noise_shape
 
                 rng = np.random.RandomState(314)
