@@ -35,7 +35,8 @@ def main() -> None:
         dtype="bfloat16",
     )
     enc, gen = Encoder(cfg), Generator(cfg)
-    batch = 64
+    # Large batch amortizes the ~50ms per-dispatch tunnel latency.
+    batch = 256
     images = jnp.asarray(np.random.RandomState(0).rand(batch, 256, 256, 3).astype(np.float32))
     enc_vars = enc.init(jax.random.PRNGKey(0), images[:1], domain=0)
     code, skips = enc.apply(enc_vars, images[:1], domain=0)
@@ -54,7 +55,7 @@ def main() -> None:
     # 4-byte host fetch (scalar sum) each iteration. On the axon backend
     # block_until_ready alone is a no-op until the first host fetch (lazy
     # dispatch batching), which over-reports throughput by ~300x.
-    iters = 12
+    iters = 6
     inputs = [
         jnp.asarray(np.random.RandomState(i + 1).rand(batch, 256, 256, 3).astype(np.float32))
         for i in range(iters)

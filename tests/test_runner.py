@@ -5,6 +5,7 @@ tested (SURVEY.md section 4)."""
 import os
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import jax
@@ -198,3 +199,66 @@ class TestStageRunnerEndToEnd:
         assert cfg.trainer.model.norm_type == "batch_renorm"
         assert cfg.trainer.model.style_dim == 8
         assert cfg.max_hw == 32
+
+
+class TestNanRecovery:
+    def test_nan_triggers_restore(self, tmp_path, monkeypatch):
+        cfg = RunConfig(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=16,  # 4 steps at batch 4
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(res=4),
+            log_every_n_steps=1,
+            save_every_n_steps=2,
+            log_image_every_n_iter=0,
+            max_nan_recoveries=2,
+        )
+        runner = StageRunner(cfg)
+        # Poison exactly one round's metrics after step 2's checkpoint.
+        from twingan_tpu.train.gan_trainer import GanTrainer
+
+        real_round = GanTrainer.round_step
+        fired = {"n": 0}
+
+        def poisoned(self, state, batches, rng):
+            state, metrics = real_round(self, state, batches, rng)
+            if int(state.step) == 3 and fired["n"] == 0:
+                fired["n"] = 1
+                metrics = dict(metrics)
+                metrics["generator_loss"] = jnp.asarray(float("nan"))
+            return state, metrics
+
+        monkeypatch.setattr(GanTrainer, "round_step", poisoned)
+        summary = runner.run()
+        assert fired["n"] == 1
+        assert summary["4"]["steps"] == 4  # completed despite the NaN
+
+    def test_recovery_budget_exhausted(self, tmp_path, monkeypatch):
+        cfg = RunConfig(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=8,
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(res=4),
+            log_every_n_steps=1,
+            log_image_every_n_iter=0,
+            max_nan_recoveries=1,
+        )
+        from twingan_tpu.train.gan_trainer import GanTrainer
+
+        real_round = GanTrainer.round_step
+
+        def always_nan(self, state, batches, rng):
+            state, metrics = real_round(self, state, batches, rng)
+            metrics = dict(metrics)
+            metrics["generator_loss"] = jnp.asarray(float("nan"))
+            return state, metrics
+
+        monkeypatch.setattr(GanTrainer, "round_step", always_nan)
+        with pytest.raises(FloatingPointError):
+            StageRunner(cfg).run()

@@ -101,6 +101,11 @@ class RunConfig:
     # On-device lax.scan loop: compile this many rounds into one dispatch
     # (1 = host loop). Big win at small resolutions where dispatch dominates.
     rounds_per_scan: int = 1
+    # Failure detection: on a non-finite loss, restore the last checkpoint
+    # and continue (up to this many times per stage; 0 disables). The
+    # reference's only recovery is checkpoint restart on process death
+    # (SURVEY.md section 5.3); this catches in-process divergence too.
+    max_nan_recoveries: int = 3
     seed: int = 0
 
     def replace(self, **kw):
@@ -269,6 +274,7 @@ class StageRunner:
         t_start = time.time()
         last_log = t_start
         self._last_log_step = start_step
+        self._nan_recoveries = 0
         profiled = False
         try:
             step = start_step
@@ -294,6 +300,25 @@ class StageRunner:
                     jax.profiler.stop_trace()
                     profiled = True
                 cur = int(state.step)
+                # Failure detection: non-finite loss -> restore + continue.
+                probe = float(metrics.get("generator_loss", 0.0)) + float(
+                    metrics.get("discriminator_loss", 0.0)
+                )
+                if not np.isfinite(probe) and cfg.max_nan_recoveries > 0:
+                    nan_recoveries = getattr(self, "_nan_recoveries", 0) + 1
+                    self._nan_recoveries = nan_recoveries
+                    if nan_recoveries > cfg.max_nan_recoveries:
+                        raise FloatingPointError(
+                            f"[stage {tag}] non-finite loss at step {cur}; "
+                            f"recovery budget exhausted"
+                        )
+                    fresh = trainer.init_state(jax.random.PRNGKey(cfg.seed + nan_recoveries))
+                    restored = cm.restore(fresh)
+                    state = restored if restored is not None else fresh
+                    step = int(state.step)
+                    print(f"[stage {tag}] non-finite loss; restored checkpoint "
+                          f"at step {step} (recovery {nan_recoveries}/{cfg.max_nan_recoveries})")
+                    continue
                 if cur % cfg.log_every_n_steps < max(1, cfg.rounds_per_scan) or cur >= steps:
                     g = float(metrics.get("generator_loss", np.nan))
                     d = float(metrics.get("discriminator_loss", np.nan))
