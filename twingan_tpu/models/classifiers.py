@@ -56,9 +56,9 @@ class LeNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, probes=None):
         eps: Dict[str, Any] = {}
-        x = jax.nn.relu(nn.Conv(32, (5, 5), name="conv1")(x))
+        x = _ep(eps, probes, "conv1", jax.nn.relu(nn.Conv(32, (5, 5), name="conv1")(x)))
         x = _max_pool(x)
-        x = jax.nn.relu(nn.Conv(64, (5, 5), name="conv2")(x))
+        x = _ep(eps, probes, "conv2", jax.nn.relu(nn.Conv(64, (5, 5), name="conv2")(x)))
         x = _max_pool(x)
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(1024, name="fc3")(x))
@@ -80,7 +80,7 @@ class CifarNet(nn.Module):
         x = jax.nn.relu(nn.Conv(64, (5, 5), name="conv1")(x))
         x = _max_pool(x, 2, 2)
         x = _BN(name="norm1")(x, train)
-        x = jax.nn.relu(nn.Conv(64, (5, 5), name="conv2")(x))
+        x = _ep(eps, probes, "conv2", jax.nn.relu(nn.Conv(64, (5, 5), name="conv2")(x)))
         x = _BN(name="norm2")(x, train)
         x = _max_pool(x, 2, 2)
         x = x.reshape(x.shape[0], -1)

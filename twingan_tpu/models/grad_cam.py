@@ -32,6 +32,11 @@ def grad_cam(
     """
     logits, eps = apply_fn(images)
     acts = eps[layer_name]
+    if acts.ndim != 4:
+        raise ValueError(
+            f"Grad-CAM needs a spatial [B,h,w,c] end point; {layer_name!r} "
+            f"has shape {acts.shape}. Pick a conv end point."
+        )
     if class_index is None:
         class_index = jnp.argmax(logits, axis=-1)
     class_index = jnp.asarray(class_index)
