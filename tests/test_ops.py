@@ -291,3 +291,37 @@ class TestSwd:
         same = np.asarray(ops.sliced_wasserstein_distance(key, jnp.asarray(real), jnp.asarray(real)))
         diff = np.asarray(ops.sliced_wasserstein_distance(key, jnp.asarray(real), jnp.asarray(fake)))
         assert diff[:, 1].mean() > same[:, 1].mean() * 1.5
+
+
+class TestShardedAttention:
+    def test_matches_full_attention(self):
+        from twingan_tpu.parallel import create_mesh
+
+        rng = np.random.RandomState(0)
+        b, n, cb, c = 2, 64, 4, 8  # n divisible by 8 devices
+        f = jnp.asarray(rng.randn(b, n, cb).astype(np.float32))
+        g = jnp.asarray(rng.randn(b, n, cb).astype(np.float32))
+        h = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        mesh = create_mesh(axis="seq")
+        out = ops.attention.sharded_attention_core(f, g, h, mesh, axis="seq")
+        ref = ops.attention.attention_core(f, g, h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match(self):
+        from twingan_tpu.parallel import create_mesh
+
+        rng = np.random.RandomState(1)
+        b, n, cb, c = 1, 32, 4, 8
+        f = jnp.asarray(rng.randn(b, n, cb).astype(np.float32))
+        g = jnp.asarray(rng.randn(b, n, cb).astype(np.float32))
+        h = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        mesh = create_mesh(axis="seq")
+
+        ref_grads = jax.grad(lambda *a: jnp.sum(ops.attention.attention_core(*a) ** 2),
+                             argnums=(0, 1, 2))(f, g, h)
+        sh_grads = jax.grad(
+            lambda *a: jnp.sum(ops.attention.sharded_attention_core(*a, mesh, axis="seq") ** 2),
+            argnums=(0, 1, 2),
+        )(f, g, h)
+        for a, b_ in zip(ref_grads, sh_grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-5)

@@ -275,3 +275,29 @@ class TestNetworkSelection:
         }
         state, metrics = trainer.g_step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["generator_loss"]))
+
+
+class TestPolyakAveraging:
+    def test_ema_tracks_generator(self):
+        cfg = small_cfg(moving_average_decay=0.5)
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.gen_ema_params is not None
+        p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params["generator"])]
+        for i in range(3):
+            state, _ = trainer.g_step(state, synthetic_batch(i), jax.random.PRNGKey(i))
+        cur = jax.tree_util.tree_leaves(state.params["generator"])
+        ema = jax.tree_util.tree_leaves(state.gen_ema_params)
+        # EMA lags behind the live params but has moved from init.
+        assert any(not np.allclose(a, b) for a, b in zip(ema, cur))
+        assert any(not np.allclose(a, b) for a, b in zip(ema, p0))
+        # sample() uses the EMA params without error.
+        from twingan_tpu.models.pggan import noise_shape
+
+        img = trainer.sample(state, jnp.zeros(noise_shape(cfg.model, 2)))
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_disabled_by_default(self):
+        trainer = GanTrainer(small_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.gen_ema_params is None

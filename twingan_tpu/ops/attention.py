@@ -136,3 +136,34 @@ def self_attention(
     if use_flash:
         return flash_attention_core(f, g, h, block_q, block_k)
     return attention_core(f, g, h)
+
+
+def sharded_attention_core(
+    f: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """Context-parallel attention: the N spatial positions sharded across a
+    mesh axis (SURVEY.md section 5.7 — the one faithful 'sequence
+    parallelism' extension this workload admits, for 512px+ stretch configs).
+
+    Queries stay sharded; keys/values are all-gathered over ICI inside
+    shard_map, so each device computes its N/devices query rows against the
+    full key set. Exact same math as attention_core.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local(f_blk, g_blk, h_blk):
+        g_full = lax.all_gather(g_blk, axis, axis=1, tiled=True)
+        h_full = lax.all_gather(h_blk, axis, axis=1, tiled=True)
+        return attention_core(f_blk, g_full, h_full)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None),) * 3,
+        out_specs=P(None, axis, None),
+    )(f, g, h)

@@ -34,7 +34,13 @@ from twingan_tpu.train.losses import (
     gradient_penalty,
 )
 from twingan_tpu.train.optimizers import OptimizerConfig, build_optimizer
-from twingan_tpu.train.state import GanTrainState, apply_model, init_model, update_gdrop_state
+from twingan_tpu.train.state import (
+    GanTrainState,
+    apply_model,
+    init_model,
+    polyak_update,
+    update_gdrop_state,
+)
 
 GEN = "generator"
 DIS = "discriminator"
@@ -60,6 +66,8 @@ class GanTrainerConfig:
     # Network selection (reference generator_network flag): pggan | cyclegan.
     generator_network: str = "pggan"
     cyclegan_num_channels: int = 64
+    # Polyak averaging of generator params for eval (0 disables).
+    moving_average_decay: float = 0.0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -122,6 +130,12 @@ class GanTrainer(BaseGanTrainer):
             dis_opt_state=self.dis_tx.init(dis_params),
             gdrop_strength=jnp.zeros((), jnp.float32),
             gen_loss_ema=jnp.zeros((), jnp.float32),
+            gen_ema_params=(
+                # Distinct buffers: the live params are donated by the steps.
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), gen_params)
+                if cfg.moving_average_decay
+                else None
+            ),
         )
 
     # ------------------------------------------------------------------ #
@@ -195,6 +209,11 @@ class GanTrainer(BaseGanTrainer):
         )
         if not cfg.use_gdrop:
             new_strength = state.gdrop_strength
+        new_ema_params = state.gen_ema_params
+        if cfg.moving_average_decay:
+            new_ema_params = polyak_update(
+                state.gen_ema_params, new_gen_params, cfg.moving_average_decay
+            )
         new_state = state.replace(
             step=state.step + 1,
             critic_step=state.critic_step + 1,
@@ -203,6 +222,7 @@ class GanTrainer(BaseGanTrainer):
             gen_opt_state=new_opt,
             gen_loss_ema=new_ema,
             gdrop_strength=new_strength,
+            gen_ema_params=new_ema_params,
         )
         metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength}
         return new_state, metrics
@@ -276,7 +296,10 @@ class GanTrainer(BaseGanTrainer):
         unconditional pggan, or the conditioning source otherwise
         (the reference's custom_input_ph path)."""
         alpha = self._alpha(state.step)
+        gen_params = (
+            state.gen_ema_params if state.gen_ema_params is not None else state.params[GEN]
+        )
         (img, _), _ = self._apply_gen(
-            state.params[GEN], state.model_state[GEN], z, alpha, None, False, False
+            gen_params, state.model_state[GEN], z, alpha, None, False, False
         )
         return img

@@ -31,6 +31,9 @@ class GanTrainState:
     dis_opt_state: optax.OptState
     gdrop_strength: jax.Array
     gen_loss_ema: jax.Array
+    # Optional Polyak average of the generator-side params, used at eval
+    # (reference moving-average variable restore, model_inheritor.py:1150).
+    gen_ema_params: Any = None
 
 
 def apply_model(
@@ -85,3 +88,10 @@ def update_gdrop_state(
     gdrop_coef = jnp.where(step > 100, coef, 0.0)
     strength = gdrop_coef * jnp.power(jnp.maximum(new_ema - lim, 0.0), exp)
     return new_ema, strength
+
+
+def polyak_update(ema_params: Any, params: Any, decay: float) -> Any:
+    """EMA of the generator-side params (tf.train.ExponentialMovingAverage)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
+    )
