@@ -44,6 +44,7 @@ def migrate_state_dict(
     restored: dict,
     reset_paths: tuple = RESET_PATHS,
     strict_unused: bool = False,
+    exclude_scopes: tuple = (),
 ) -> tuple[dict, dict]:
     """Copy restored leaves into the template wherever path+shape intersect.
 
@@ -56,8 +57,13 @@ def migrate_state_dict(
     report = {"carried": [], "fresh": [], "dropped": [], "shape_mismatch": []}
     out = dict(flat_t)
     for path, tval in flat_t.items():
+        joined = "/".join(path)
         if any(p in reset_paths for p in path[:1]):
-            report["fresh"].append("/".join(path))
+            report["fresh"].append(joined)
+            continue
+        if exclude_scopes and any(scope in joined for scope in exclude_scopes):
+            # checkpoint_exclude_scopes (model_inheritor.py:605-632).
+            report["fresh"].append(joined)
             continue
         rval = flat_r.get(path)
         if rval is None:

@@ -101,6 +101,10 @@ class RunConfig:
     # On-device lax.scan loop: compile this many rounds into one dispatch
     # (1 = host loop). Big win at small resolutions where dispatch dominates.
     rounds_per_scan: int = 1
+    # Warm start the FIRST stage from an external checkpoint dir (reference
+    # checkpoint_path flag), with optional scope exclusion.
+    checkpoint_path: str = ""
+    checkpoint_exclude_scopes: tuple = ()
     # Failure detection: on a non-finite loss, restore the last checkpoint
     # and continue (up to this many times per stage; 0 disables). The
     # reference's only recovery is checkpoint restart on process death
@@ -223,16 +227,20 @@ class StageRunner:
             state = cm.restore(state, latest)
             start_step = int(state.step)
             print(f"[stage {stage_dir_name(res, growing)}] resumed at step {start_step}")
-        elif prev_stage_dir is not None:
-            prev_cm = CheckpointManager(prev_stage_dir)
+        elif prev_stage_dir is not None or cfg.checkpoint_path:
+            prev_cm = CheckpointManager(prev_stage_dir or cfg.checkpoint_path)
             raw = prev_cm.restore_dict()
             if raw is not None:
                 template = flax.serialization.to_state_dict(state)
-                migrated, report = migrate_state_dict(template, raw)
+                migrated, report = migrate_state_dict(
+                    template, raw,
+                    exclude_scopes=tuple(cfg.checkpoint_exclude_scopes)
+                    if prev_stage_dir is None else (),
+                )
                 state = flax.serialization.from_state_dict(state, migrated)
                 print(
                     f"[stage {stage_dir_name(res, growing)}] warm start from "
-                    f"{prev_stage_dir}: {len(report['carried'])} carried, "
+                    f"{prev_stage_dir or cfg.checkpoint_path}: {len(report['carried'])} carried, "
                     f"{len(report['fresh'])} fresh, "
                     f"{len(report['shape_mismatch'])} shape-mismatched"
                 )

@@ -34,6 +34,10 @@ class OptimizerConfig:
     rmsprop_decay: float = 0.9
     # Optional global-norm clip (not in the reference; off by default).
     clip_global_norm: float = 0.0
+    # Freeze params whose tree path contains any of these substrings
+    # (reference trainable_scopes filtering, model_inheritor.py:647-673;
+    # empty tuple = train everything).
+    frozen_scopes: tuple = ()
 
     def replace(self, **kw) -> "OptimizerConfig":
         return dataclasses.replace(self, **kw)
@@ -78,4 +82,20 @@ def build_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         raise ValueError(f"unsupported optimizer {name!r}")
     if cfg.clip_global_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_global_norm), tx)
+    if cfg.frozen_scopes:
+        tx = freeze_scopes(tx, tuple(cfg.frozen_scopes))
     return tx
+
+
+def freeze_scopes(tx: optax.GradientTransformation, scopes: tuple) -> optax.GradientTransformation:
+    """Zero the final updates for every param whose path contains one of
+    ``scopes`` (placed after the optimizer so frozen params never move)."""
+    import jax
+
+    def frozen_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda k, _: any(scope in jax.tree_util.keystr(k) for scope in scopes),
+            params,
+        )
+
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
