@@ -312,3 +312,25 @@ class TestFineTuning:
         # discriminator fresh. Simplest check: run completes.
         summary = runner.run()
         assert summary["4"]["steps"] == 1
+
+
+class TestSchemaEvolution:
+    def test_restore_tolerates_missing_new_fields(self, tmp_path):
+        """Checkpoints saved before a state field existed must still load
+        (e.g. gen_ema_params added after training started)."""
+        import flax.serialization
+        from twingan_tpu.train.gan_trainer import GanTrainer
+
+        trainer = GanTrainer(small_trainer_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        cm = CheckpointManager(str(tmp_path / "s"))
+        # Simulate an old checkpoint: drop a field from the saved dict.
+        old_dict = flax.serialization.to_state_dict(state)
+        old_dict.pop("gen_ema_params", None)
+        cm._ckptr.save(cm._path(1), jax.device_get(old_dict), force=True)
+        restored = cm.restore(trainer.init_state(jax.random.PRNGKey(1)))
+        assert restored is not None
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
+            np.asarray(state.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
+        )

@@ -70,12 +70,20 @@ class CheckpointManager:
         return self._ckptr.restore(self._path(step))
 
     def restore(self, template_state: Any, step: Optional[int] = None) -> Optional[Any]:
-        """Restore into a freshly-initialized template of identical structure
-        (same-stage resume)."""
+        """Restore into a freshly-initialized template (same-stage resume).
+
+        Tolerant of schema evolution: leaves are matched by path+shape
+        (missing new fields keep their template init; vanished old fields are
+        dropped), so adding optional state fields never orphans checkpoints.
+        """
         raw = self.restore_dict(step)
         if raw is None:
             return None
-        return flax.serialization.from_state_dict(template_state, raw)
+        from twingan_tpu.runner.migrate import migrate_state_dict
+
+        template = flax.serialization.to_state_dict(template_state)
+        merged, _ = migrate_state_dict(template, raw, reset_paths=())
+        return flax.serialization.from_state_dict(template_state, merged)
 
 
 def save_config_snapshot(train_dir: str, config: Any, name: str = "config.json") -> str:
