@@ -41,51 +41,60 @@ def attention_core(f: jax.Array, g: jax.Array, h: jax.Array) -> jax.Array:
     return o.astype(h.dtype)
 
 
-def _flash_kernel(f_ref, g_ref, h_ref, o_ref, *, block_k: int, n: int):
-    """One (batch, q-block) program: stream over key blocks with online softmax."""
+def _flash_kernel(f_ref, g_ref, h_ref, o_ref, m_scr, l_scr, acc_scr):
+    """One (batch, q-block, k-block) program. Pallas iterates the LAST grid
+    dimension sequentially, so the online-softmax state (m, l, acc) carries
+    across k-blocks in VMEM scratch; only one key block is resident at a
+    time (bounded VMEM at any N)."""
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     f = f_ref[0].astype(jnp.float32)  # [block_q, c_bar]
-    block_q = f.shape[0]
-    c = h_ref.shape[-1]
-    num_k = n // block_k
-
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        g_blk = g_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        h_blk = h_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
-        scale = jnp.exp(m_prev - m_new)
-        l_new = l_prev * scale + jnp.sum(p, axis=-1)
-        acc = acc * scale[:, None] + jnp.dot(p, h_blk, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
-
-    init = (
-        jnp.full((block_q,), -jnp.inf, jnp.float32),
-        jnp.zeros((block_q,), jnp.float32),
-        jnp.zeros((block_q, c), jnp.float32),
+    g_blk = g_ref[0].astype(jnp.float32)  # [block_k, c_bar]
+    h_blk = h_ref[0].astype(jnp.float32)  # [block_k, c]
+    s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    m_prev = m_scr[:, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[:, None])
+    scale = jnp.exp(m_prev - m_new)
+    m_scr[:, 0] = m_new
+    l_scr[:, 0] = l_scr[:, 0] * scale + jnp.sum(p, axis=-1)
+    acc_scr[:] = acc_scr[:] * scale[:, None] + jnp.dot(
+        p, h_blk, preferred_element_type=jnp.float32
     )
-    _, l_final, acc = lax.fori_loop(0, num_k, body, init)
-    o_ref[0] = (acc / l_final[:, None]).astype(o_ref.dtype)
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
 
 
 def _flash_forward(f, g, h, block_q: int, block_k: int):
     b, n, c_bar = f.shape
     c = h.shape[-1]
-    grid = (b, n // block_q)
+    grid = (b, n // block_q, n // block_k)
     # Pallas compiles only on TPU; interpret mode keeps CPU tests exact.
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, n=n),
+        _flash_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, c), h.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, c_bar), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, n, c_bar), lambda bi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, c_bar), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, c_bar), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running denom l
+            pltpu.VMEM((block_q, c), jnp.float32),  # weighted-value acc
+        ],
         interpret=interpret,
     )(f, g, h)
 
