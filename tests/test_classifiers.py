@@ -206,3 +206,21 @@ class TestUtilMisc:
         assert box_iou((0, 0, 2, 2), (1, 1, 3, 3)) == pytest.approx(1 / 7)
         assert find_boundary(lambda x: x >= 5, 0, 10) == 5
         assert find_boundary(lambda x: False, 0, 10) == 11
+
+
+class TestLateZooAdditions:
+    def test_overfeat(self):
+        model = get_network_fn("overfeat", num_classes=4)
+        x = jnp.ones((1, 231, 231, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, _ = model.apply(variables, x)
+        assert logits.shape == (1, 4)
+
+    def test_resnet_v2_layernorm(self):
+        model = get_network_fn("resnet_v2_layernorm", num_classes=4)
+        x = jnp.ones((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        # Layer norm -> no batch_stats collection at all.
+        assert "batch_stats" not in variables
+        logits, _ = model.apply(variables, x)
+        assert logits.shape == (1, 4)

@@ -29,8 +29,12 @@ import flax.linen as nn
 
 
 class _BN(nn.Module):
+    kind: str = "batch"
+
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.kind == "layer":
+            return nn.LayerNorm(epsilon=1e-5)(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.997, epsilon=1e-5)(x)
 
 
@@ -118,6 +122,32 @@ class AlexNetV2(nn.Module):
         return logits, eps
 
 
+class OverFeat(nn.Module):
+    """reference nets/overfeat.py: the accurate-model conv stack with a
+    fully-convolutional fc head."""
+
+    num_classes: int = 1000
+    default_image_size = 231
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, probes=None):
+        eps: Dict[str, Any] = {}
+        x = jax.nn.relu(nn.Conv(64, (11, 11), strides=(4, 4), padding="VALID", name="conv1")(x))
+        x = _max_pool(x, 2, 2)
+        x = jax.nn.relu(nn.Conv(256, (5, 5), padding="VALID", name="conv2")(x))
+        x = _max_pool(x, 2, 2)
+        x = jax.nn.relu(nn.Conv(512, (3, 3), name="conv3")(x))
+        x = jax.nn.relu(nn.Conv(1024, (3, 3), name="conv4")(x))
+        x = _ep(eps, probes, "conv5", jax.nn.relu(nn.Conv(1024, (3, 3), name="conv5")(x)))
+        x = _max_pool(x, 2, 2)
+        x = jax.nn.relu(nn.Conv(3072, (6, 6), padding="VALID", name="fc6")(x))
+        x = jax.nn.relu(nn.Conv(4096, (1, 1), name="fc7")(x))
+        x = nn.Conv(self.num_classes, (1, 1), name="fc8")(x)
+        logits = jnp.mean(x, axis=(1, 2))
+        eps["Logits"] = logits
+        return logits, eps
+
+
 class VGG(nn.Module):
     """VGG family; stages = convs per block (reference nets/vgg.py).
     vgg_a=(1,1,2,2,2), vgg_16=(2,2,3,3,3), vgg_19=(2,2,4,4,4)."""
@@ -174,27 +204,28 @@ class _Bottleneck(nn.Module):
     features: int
     stride: int = 1
     preact: bool = False  # v2
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool):
         f = self.features
         shortcut = x
         if self.preact:
-            x = jax.nn.relu(_BN(name="preact_bn")(x, train))
+            x = jax.nn.relu(_BN(self.norm, name="preact_bn")(x, train))
             pre = x
         y = nn.Conv(f, (1, 1), name="conv1", use_bias=False)(x)
-        y = jax.nn.relu(_BN(name="bn1")(y, train))
+        y = jax.nn.relu(_BN(self.norm, name="bn1")(y, train))
         y = nn.Conv(f, (3, 3), strides=(self.stride, self.stride), name="conv2", use_bias=False)(y)
-        y = jax.nn.relu(_BN(name="bn2")(y, train))
+        y = jax.nn.relu(_BN(self.norm, name="bn2")(y, train))
         y = nn.Conv(4 * f, (1, 1), name="conv3", use_bias=False)(y)
         if not self.preact:
-            y = _BN(name="bn3")(y, train)
+            y = _BN(self.norm, name="bn3")(y, train)
         if shortcut.shape[-1] != 4 * f or self.stride != 1:
             src = pre if self.preact else shortcut
             shortcut = nn.Conv(4 * f, (1, 1), strides=(self.stride, self.stride),
                                name="shortcut", use_bias=False)(src)
             if not self.preact:
-                shortcut = _BN(name="shortcut_bn")(shortcut, train)
+                shortcut = _BN(self.norm, name="shortcut_bn")(shortcut, train)
         out = shortcut + y
         if not self.preact:
             out = jax.nn.relu(out)
@@ -202,11 +233,14 @@ class _Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """resnet_v1/v2 {50, 101} (reference nets/resnet_v1.py, resnet_v2.py)."""
+    """resnet_v1/v2 {50, 101} (reference nets/resnet_v1.py, resnet_v2.py);
+    norm='layer' gives resnet_v2_layernorm (reference
+    nets/resnet_v2_layernorm.py)."""
 
     num_classes: int = 1000
     blocks: Sequence[int] = (3, 4, 6, 3)
     preact: bool = False
+    norm: str = "batch"
     default_image_size = 224
 
     @nn.compact
@@ -214,16 +248,16 @@ class ResNet(nn.Module):
         eps: Dict[str, Any] = {}
         x = nn.Conv(64, (7, 7), strides=(2, 2), name="conv1", use_bias=False)(x)
         if not self.preact:
-            x = jax.nn.relu(_BN(name="bn1")(x, train))
+            x = jax.nn.relu(_BN(self.norm, name="bn1")(x, train))
         x = _max_pool(x, 3, 2, padding="SAME")
         for stage, reps in enumerate(self.blocks):
             f = 64 * 2**stage
             for block in range(reps):
                 stride = 2 if (block == 0 and stage > 0) else 1
-                x = _Bottleneck(f, stride, self.preact, name=f"block{stage + 1}_{block + 1}")(x, train)
+                x = _Bottleneck(f, stride, self.preact, self.norm, name=f"block{stage + 1}_{block + 1}")(x, train)
             x = _ep(eps, probes, f"block{stage + 1}", x)
         if self.preact:
-            x = jax.nn.relu(_BN(name="postnorm")(x, train))
+            x = jax.nn.relu(_BN(self.norm, name="postnorm")(x, train))
         x = jnp.mean(x, axis=(1, 2))
         eps["PreLogits"] = x
         logits = nn.Dense(self.num_classes, name="logits")(x)
@@ -288,12 +322,14 @@ NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "mobilenet_v1": MobileNetV1,
     "inception_v1": lambda **kw: _inception("InceptionV1")(**kw),
     "inception_v3": lambda **kw: _inception("InceptionV3")(**kw),
+    "overfeat": OverFeat,
+    "resnet_v2_layernorm": functools.partial(ResNet, blocks=(3, 4, 6, 3), preact=True, norm="layer"),
 }
 
 # Planned (reference nets the factory knows about but that are not yet
 # re-implemented in this framework).
 PLANNED = ("inception_v2", "inception_v4", "inception_resnet_v2",
-           "nasnet_mobile", "nasnet_large", "overfeat", "resnet_v2_layernorm")
+           "nasnet_mobile", "nasnet_large")
 
 
 def get_network_fn(name: str, num_classes: int, **kwargs) -> nn.Module:
