@@ -224,3 +224,15 @@ class TestLateZooAdditions:
         assert "batch_stats" not in variables
         logits, _ = model.apply(variables, x)
         assert logits.shape == (1, 4)
+
+
+class TestInceptionFamily:
+    @pytest.mark.parametrize("name,hw", [("inception_v2", 224), ("inception_v4", 299),
+                                          ("inception_resnet_v2", 299)])
+    def test_shapes(self, name, hw):
+        model = get_network_fn(name, num_classes=3)
+        x = jnp.ones((1, hw, hw, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, eps = model.apply(variables, x)
+        assert logits.shape == (1, 3)
+        assert "PreLogits" in eps

@@ -321,15 +321,17 @@ NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "resnet_v2_101": functools.partial(ResNet, blocks=(3, 4, 23, 3), preact=True),
     "mobilenet_v1": MobileNetV1,
     "inception_v1": lambda **kw: _inception("InceptionV1")(**kw),
+    "inception_v2": lambda **kw: _inception("InceptionV2")(**kw),
     "inception_v3": lambda **kw: _inception("InceptionV3")(**kw),
+    "inception_v4": lambda **kw: _inception("InceptionV4")(**kw),
+    "inception_resnet_v2": lambda **kw: _inception("InceptionResNetV2")(**kw),
     "overfeat": OverFeat,
     "resnet_v2_layernorm": functools.partial(ResNet, blocks=(3, 4, 6, 3), preact=True, norm="layer"),
 }
 
 # Planned (reference nets the factory knows about but that are not yet
 # re-implemented in this framework).
-PLANNED = ("inception_v2", "inception_v4", "inception_resnet_v2",
-           "nasnet_mobile", "nasnet_large")
+PLANNED = ("nasnet_mobile", "nasnet_large")
 
 
 def get_network_fn(name: str, num_classes: int, **kwargs) -> nn.Module:
