@@ -201,3 +201,83 @@ class TestGallery:
         assert len(rows) == 2
         assert rows[0][0] == "a.png"
         assert len(rows[0]) == 1 + 32 + 1  # name + flattened embedding + base64
+
+
+class TestTFImportMapping:
+    def test_name_mapping(self):
+        from twingan_tpu.infer.import_tf import map_var_name
+
+        cases = {
+            "encoder_content/from_rgb_256x256/Conv/weights":
+                ("encoder_content", ("from_rgb_256_conv", "conv", "kernel"), False),
+            "encoder_content/encoder_block_128x128x256/Conv_1/BatchNorm/beta_s":
+                ("encoder_content", ("block_128_conv1", "norm", "beta_0"), False),
+            "encoder_content/encoder_block_128x128x256/Conv_1/BatchNorm/moving_mean_t":
+                ("encoder_content", ("block_128_conv1", "norm", "moving_mean_1"), True),
+            "generator/block_8x8x256/Conv/weights":
+                ("generator", ("block_8_conv0", "conv", "kernel"), False),
+            "generator/generator_to_rgb_256x256/Conv/weights":
+                ("generator", ("to_rgb_256", "conv", "kernel"), False),
+            "discriminator_t/before_fc_1x1x256/Conv_1/biases":
+                ("discriminator_t", ("before_fc_conv1", "conv", "bias"), False),
+            "discriminator_t/prediction/fully_connected/weights":
+                ("discriminator_t", ("prediction", "kernel"), False),
+            "generator/block_4x4x256/Conv_1/BatchNorm/gamma_t":
+                ("generator", ("block_4_conv1", "norm", "gamma_1"), False),
+        }
+        for tf_name, want in cases.items():
+            assert map_var_name(tf_name) == want, tf_name
+        # Optimizer slots and unrelated vars are skipped.
+        assert map_var_name("generator/block_8x8x256/Conv/weights/Adam") is None
+        assert map_var_name("global_step") is None
+
+    def test_import_from_real_tf_checkpoint(self, tmp_path):
+        """Round trip: write a TF checkpoint with reference-style names, import
+        it, and confirm the values landed in the right pytree leaves."""
+        tf = pytest.importorskip("tensorflow")
+        from twingan_tpu.infer.import_tf import import_tf_checkpoint
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+        from twingan_tpu.train.optimizers import OptimizerConfig
+
+        cfg = TwinGANConfig(
+            model=PGGANConfig(resolution=8, max_channels=16, num_domains=2),
+            batch_size=2,
+            opt=OptimizerConfig(learning_rate=1e-3),
+        )
+        trainer = TwinGANTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        k_shape = np.shape(state.params["generator"]["block_8_conv0"]["conv"]["kernel"])
+        marker = np.full(k_shape, 0.125, np.float32)
+        beta_shape = np.shape(state.params["generator"]["block_8_conv0"]["norm"]["beta_1"])
+        beta_marker = np.full(beta_shape, -0.5, np.float32)
+
+        ckpt_dir = str(tmp_path / "tfckpt")
+        import tensorflow.compat.v1 as tf1
+
+        with tf1.Graph().as_default():
+            v1 = tf1.get_variable(
+                "generator/block_8x8x16/Conv/weights",
+                initializer=tf1.constant(marker),
+            )
+            v2 = tf1.get_variable(
+                "generator/block_8x8x16/Conv/BatchNorm/beta_t",
+                initializer=tf1.constant(beta_marker),
+            )
+            saver = tf1.train.Saver(var_list={
+                "generator/block_8x8x16/Conv/weights": v1,
+                "generator/block_8x8x16/Conv/BatchNorm/beta_t": v2,
+            })
+            with tf1.Session() as sess:
+                sess.run(tf1.global_variables_initializer())
+                path = saver.save(sess, ckpt_dir + "/model.ckpt")
+
+        new_state, report = import_tf_checkpoint(path, state)
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["generator"]["block_8_conv0"]["conv"]["kernel"]),
+            marker,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["generator"]["block_8_conv0"]["norm"]["beta_1"]),
+            beta_marker,
+        )
+        assert len(report["mapped"]) == 2

@@ -1,0 +1,175 @@
+"""Best-effort importer for reference TF1 TwinGAN checkpoints.
+
+The BASELINE fidelity gate wants the reference's pretrained human->anime
+model reproduced through our inference contract (BASELINE.md). The
+pretrained checkpoints are external downloads that cannot be fetched in this
+offline environment, so this importer is validated structurally (name-mapping
+unit tests) and ships a remap report for iterating on a real checkpoint.
+
+TF1 variable naming (from the reference's scopes + slim defaults):
+    encoder_content/from_rgb_256x256/Conv/weights
+    encoder_content/encoder_block_128x128x256/Conv_1/BatchNorm/beta_s
+    generator/block_8x8x256/Conv/weights
+    generator/generator_to_rgb_256x256/Conv/weights
+    discriminator_t/before_fc_1x1x256/Conv_1/biases
+    discriminator_t/prediction/fully_connected/weights
+Slim conv scopes inside a block are Conv, Conv_1, ...; norms live under
+<conv scope>/BatchNorm with the '_s'/'_t' domain postfix on each param
+(libs/batch_norm.py:130,153). Weight layouts match directly: conv HWIO,
+fc [in, out].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# TF norm param -> our DomainNorm param stem.
+_NORM_PARAMS = {
+    "beta": "beta",
+    "gamma": "gamma",
+    "moving_mean": "moving_mean",
+    "moving_variance": "moving_var",
+    "renorm_mean": "renorm_mean",
+    "renorm_mean_weight": "renorm_mean_weight",
+    "renorm_stddev": "renorm_stddev",
+    "renorm_stddev_weight": "renorm_stddev_weight",
+}
+
+_SCOPE_TO_NET = {
+    "encoder_content": "encoder_content",
+    "encoder_style": "encoder_style",
+    "generator": "generator",
+    "discriminator_s": "discriminator_s",
+    "discriminator_t": "discriminator_t",
+    "discriminator": "discriminator",
+}
+
+
+def _split_domain(name: str) -> Tuple[str, int]:
+    """'beta_s' -> ('beta', 0); 'gamma_t' -> ('gamma', 1); 'beta' -> ('beta', 0)."""
+    if name.endswith("_s"):
+        return name[:-2], 0
+    if name.endswith("_t"):
+        return name[:-2], 1
+    return name, 0
+
+
+def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
+    """TF1 variable name -> (network key, our param path, is_batch_stat).
+
+    Returns None for unmapped names (optimizer slots, counters, ...).
+    """
+    tf_name = tf_name.split(":")[0]
+    parts = tf_name.split("/")
+    if parts[0] not in _SCOPE_TO_NET:
+        return None
+    net = _SCOPE_TO_NET[parts[0]]
+    rest = parts[1:]
+    if not rest:
+        return None
+    # Skip optimizer slot variables (.../Adam, .../RMSProp etc.).
+    if rest[-1] in ("Adam", "Adam_1", "RMSProp", "RMSProp_1", "Momentum"):
+        return None
+
+    block = rest[0]
+    # Scope name -> our layer prefix.
+    m = re.match(r"(?:encoder_)?block_(\d+)x\d+(?:x\d+)?$", block)
+    if m:
+        layer = f"block_{m.group(1)}"
+    else:
+        m = re.match(r"(?:generator_)?to_rgb_(\d+)x\d+$", block)
+        if m:
+            layer = f"to_rgb_{m.group(1)}"
+        else:
+            m = re.match(r"from_rgb_(\d+)x\d+$", block)
+            if m:
+                layer = f"from_rgb_{m.group(1)}"
+            else:
+                m = re.match(r"before_fc_1x1x\d+$", block)
+                if m:
+                    layer = "before_fc"
+                elif block == "prediction":
+                    # prediction/fully_connected/{weights,biases}
+                    leaf = rest[-1]
+                    if leaf == "weights":
+                        return net, ("prediction", "kernel"), False
+                    if leaf == "biases":
+                        return net, ("prediction", "bias"), False
+                    return None
+                else:
+                    return None
+
+    # Conv index inside the block: Conv -> conv0, Conv_1 -> conv1.
+    conv_idx = 0
+    norm_tail = None
+    for p in rest[1:]:
+        cm = re.match(r"Conv(?:_(\d+))?$", p)
+        if cm:
+            conv_idx = int(cm.group(1) or 0)
+        elif p in ("BatchNorm", "InstanceNorm"):
+            norm_tail = "norm"
+    leaf = rest[-1]
+
+    if layer.startswith(("to_rgb", "from_rgb")):
+        layer_name = layer if layer.startswith("to_rgb") else f"{layer}_conv"
+    else:
+        layer_name = f"{layer}_conv{conv_idx}"
+
+    if leaf == "weights":
+        return net, (layer_name, "conv", "kernel"), False
+    if leaf == "biases":
+        return net, (layer_name, "conv", "bias"), False
+    stem, domain = _split_domain(leaf)
+    if stem in _NORM_PARAMS and norm_tail:
+        ours = f"{_NORM_PARAMS[stem]}_{domain}"
+        is_stat = stem.startswith(("moving", "renorm"))
+        return net, (layer_name, "norm", ours), is_stat
+    return None
+
+
+def import_tf_checkpoint(ckpt_path: str, state, strict: bool = False):
+    """Load a reference TF checkpoint into a GanTrainState.
+
+    Returns (new_state, report) with report['mapped'/'unmapped'/
+    'missing_target'/'shape_mismatch']. Requires TensorFlow for the reader.
+    """
+    import tensorflow as tf
+    import flax.serialization
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    shapes = reader.get_variable_to_shape_map()
+    sd = flax.serialization.to_state_dict(state)
+    report = {"mapped": [], "unmapped": [], "missing_target": [], "shape_mismatch": []}
+
+    for tf_name in sorted(shapes):
+        mapped = map_var_name(tf_name)
+        if mapped is None:
+            report["unmapped"].append(tf_name)
+            continue
+        net, path, is_stat = mapped
+        root = sd["model_state" if is_stat else "params"]
+        cursor = root.get(net)
+        if cursor is not None and is_stat:
+            cursor = cursor.get("batch_stats")
+        for key in path[:-1]:
+            if cursor is None:
+                break
+            cursor = cursor.get(key)
+        if cursor is None or path[-1] not in cursor:
+            report["missing_target"].append(f"{tf_name} -> {net}/{'/'.join(path)}")
+            continue
+        value = reader.get_tensor(tf_name)
+        if tuple(np.shape(cursor[path[-1]])) != tuple(np.shape(value)):
+            report["shape_mismatch"].append(
+                f"{tf_name}: {np.shape(value)} -> {np.shape(cursor[path[-1]])}"
+            )
+            continue
+        cursor[path[-1]] = np.asarray(value)
+        report["mapped"].append(tf_name)
+
+    if strict and (report["missing_target"] or report["shape_mismatch"]):
+        raise ValueError(f"import incomplete: {report}")
+    return flax.serialization.from_state_dict(state, sd), report
