@@ -236,3 +236,17 @@ class TestInceptionFamily:
         logits, eps = model.apply(variables, x)
         assert logits.shape == (1, 3)
         assert "PreLogits" in eps
+
+
+class TestNASNet:
+    def test_mobile_shapes(self):
+        model = get_network_fn("nasnet_mobile", num_classes=3)
+        x = jnp.ones((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        logits, eps = model.apply(variables, x)
+        assert logits.shape == (1, 3)
+        assert "stack_2" in eps
+
+    def test_every_reference_net_is_ported(self):
+        assert PLANNED == ()
+        assert len(NETWORKS) >= 19

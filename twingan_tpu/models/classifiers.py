@@ -307,6 +307,12 @@ def _inception(name):
     return getattr(inception, name)
 
 
+def _nasnet(**kw):
+    from twingan_tpu.models.nasnet import NASNet
+
+    return NASNet(**kw)
+
+
 NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "lenet": LeNet,
     "cifarnet": CifarNet,
@@ -326,12 +332,13 @@ NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "inception_v4": lambda **kw: _inception("InceptionV4")(**kw),
     "inception_resnet_v2": lambda **kw: _inception("InceptionResNetV2")(**kw),
     "overfeat": OverFeat,
+    "nasnet_mobile": lambda **kw: _nasnet(num_cells=12, initial_filters=44, stem_filters=32, **kw),
+    "nasnet_large": lambda **kw: _nasnet(num_cells=18, initial_filters=168, stem_filters=96, **kw),
     "resnet_v2_layernorm": functools.partial(ResNet, blocks=(3, 4, 6, 3), preact=True, norm="layer"),
 }
 
-# Planned (reference nets the factory knows about but that are not yet
-# re-implemented in this framework).
-PLANNED = ("nasnet_mobile", "nasnet_large")
+# Every net the reference factory registers is now ported.
+PLANNED = ()
 
 
 def get_network_fn(name: str, num_classes: int, **kwargs) -> nn.Module:
