@@ -250,3 +250,24 @@ class TestNASNet:
     def test_every_reference_net_is_ported(self):
         assert PLANNED == ()
         assert len(NETWORKS) >= 19
+
+
+class TestPRCurves:
+    def test_pr_curve_file(self, tmp_path):
+        trainer = ClassifierTrainer(ClassifierConfig(
+            network="lenet", num_classes=5, image_hw=28, batch_size=4,
+            opt=OptimizerConfig(optimizer="adam", learning_rate=1e-3)))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batches = [{
+            "image": rng.rand(4, 28, 28, 3).astype(np.float32),
+            "labels": (rng.rand(4, 5) > 0.5).astype(np.float32),
+        }]
+        path = str(tmp_path / "pr.tsv")
+        trainer.evaluate(state, batches, pr_curve_path=path)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "threshold\tprecision\trecall"
+        assert len(lines) == 22
+        # Recall is monotonically nonincreasing in threshold.
+        recalls = [float(l.split("\t")[2]) for l in lines[1:]]
+        assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))

@@ -119,6 +119,8 @@ class ClassifierTrainer:
     def evaluate(
         self, state: ClassifierState, batches: Iterable[Dict[str, np.ndarray]],
         threshold: float = 0.5,
+        pr_curve_path: Optional[str] = None,
+        num_pr_thresholds: int = 21,
     ) -> Dict[str, float]:
         scores_all, labels_all = [], []
         for batch in batches:
@@ -130,6 +132,17 @@ class ClassifierTrainer:
         tp = float(np.sum(pred & (labels > 0.5)))
         precision = tp / max(float(np.sum(pred)), 1.0)
         recall = tp / max(float(np.sum(labels > 0.5)), 1.0)
+        if pr_curve_path:
+            # PR-curve table over thresholds (reference streaming PR-curve
+            # summaries, model_inheritor.py:752-770).
+            os.makedirs(os.path.dirname(os.path.abspath(pr_curve_path)), exist_ok=True)
+            with open(pr_curve_path, "w") as f:
+                f.write("threshold\tprecision\trecall\n")
+                for t in np.linspace(0.0, 1.0, num_pr_thresholds):
+                    p_ = scores >= t
+                    tp_ = float(np.sum(p_ & (labels > 0.5)))
+                    f.write(f"{t:.3f}\t{tp_ / max(float(np.sum(p_)), 1.0):.6f}"
+                            f"\t{tp_ / max(float(np.sum(labels > 0.5)), 1.0):.6f}\n")
         return {
             "auc": _auc(scores, labels),
             "precision_at_thres": precision,
