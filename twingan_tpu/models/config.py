@@ -34,6 +34,9 @@ class PGGANConfig:
     norm_type: str = "batch_norm"     # none|batch_norm|instance_norm|batch_renorm|layer_norm
     do_pixel_norm: bool = False
     sync_batch_norm_axis: str | None = None  # mesh axis name for synced BN
+    # Per-device BN statistics parity: number of batch groups (= mesh size)
+    # computing independent moments; 0 = global-batch (synced) statistics.
+    bn_num_groups: int = 0
 
     # Weight treatment.
     equalized_lr: bool = False

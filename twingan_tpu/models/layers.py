@@ -170,6 +170,11 @@ class DomainNorm(nn.Module):
     center: bool = True
     scale: bool = True
     sync_axis: Optional[str] = None
+    # Per-device-statistics parity (SURVEY.md section 5.8): when > 1, batch
+    # moments are computed per contiguous batch group (set to the mesh size
+    # so each device shard normalizes with its own moments, exactly the
+    # reference's per-clone batch norm). 0/1 = global-batch moments.
+    num_groups: int = 0
     bn_decay: float = 0.999
     renorm_decay: float = 0.99
     dtype: Any = jnp.float32
@@ -246,6 +251,32 @@ class DomainNorm(nn.Module):
         bank = stats[ctx.domain]
 
         if ctx.train:
+            if self.num_groups and self.num_groups > 1 and not renorm:
+                # Per-group (per-device-shard) statistics.
+                g = self.num_groups
+                b = xf.shape[0]
+                assert b % g == 0, (b, g)
+                xg = xf.reshape(g, b // g, *xf.shape[1:])
+                gmean = jnp.mean(xg, axis=(1, 2, 3))            # [g, C]
+                gvar = jnp.mean(
+                    jnp.square(xg - gmean[:, None, None, None, :]), axis=(1, 2, 3)
+                )
+                y = norms_ops.normalize(
+                    xg, gmean[:, None, None, None, :], gvar[:, None, None, None, :],
+                    None, None, eps=eps,
+                ).reshape(xf.shape)
+                if gamma is not None:
+                    y = y * gamma
+                if beta is not None:
+                    y = y + beta
+                if self.is_mutable_collection("batch_stats") and not self.is_initializing():
+                    bank["moving_mean"].value = norms_ops.update_moving(
+                        bank["moving_mean"].value, jnp.mean(gmean, axis=0), decay
+                    )
+                    bank["moving_var"].value = norms_ops.update_moving(
+                        bank["moving_var"].value, jnp.mean(gvar, axis=0), decay
+                    )
+                return y.astype(x.dtype)
             mean, var = norms_ops.moments(xf, (0, 1, 2), axis_name=self.sync_axis)
             if renorm:
                 clip = ctx.renorm_clip or {
@@ -343,6 +374,7 @@ class ConvBlock(nn.Module):
                 num_domains=cfg.num_domains,
                 style_dim=cfg.style_dim,
                 sync_axis=cfg.sync_batch_norm_axis,
+                num_groups=cfg.bn_num_groups,
                 dtype=_dtype_of(cfg),
                 name="norm",
             )(y, ctx)
