@@ -42,9 +42,19 @@ class TestFactorySweep:
         assert logits.shape == (1, 5)
         assert eps["conv5"].shape[1] == 14
 
-    def test_planned_raise(self):
-        with pytest.raises(NotImplementedError):
-            get_network_fn("inception_v4", 10)
+    def test_planned_mechanism(self):
+        # Everything the reference registers is ported (PLANNED is empty);
+        # the mechanism still gives a clear error for names parked there.
+        import twingan_tpu.models.classifiers as c
+
+        assert c.PLANNED == ()
+        old = c.PLANNED
+        try:
+            c.PLANNED = ("future_net",)
+            with pytest.raises(NotImplementedError):
+                get_network_fn("future_net", 10)
+        finally:
+            c.PLANNED = old
 
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
