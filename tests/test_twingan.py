@@ -196,3 +196,20 @@ class TestTwinGANTrainer:
         )
         assert "generator_fool_loss_cycle_s" in metrics
         assert "discriminator_fake_loss_cycle_t" in metrics
+
+
+class TestTwinGANPolyak:
+    def test_ema_used_by_translate(self):
+        cfg = small_cfg(moving_average_decay=0.9)
+        trainer = TwinGANTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        assert state.gen_ema_params is not None
+        for i in range(2):
+            state, _ = trainer.g_step(state, batch(i), jax.random.PRNGKey(i))
+        # EMA lags the live params.
+        live = jax.tree_util.tree_leaves(state.params[GEN])
+        ema = jax.tree_util.tree_leaves(state.gen_ema_params[GEN])
+        assert any(not np.allclose(a, b) for a, b in zip(live, ema))
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+        out = trainer.translate(state, imgs, "s2t")
+        assert np.isfinite(np.asarray(out)).all()

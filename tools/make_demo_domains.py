@@ -1,0 +1,51 @@
+"""Generate the two synthetic translation domains used by the learning smoke
+(docs/PERFORMANCE.md): domain A = filled colored discs on dark background,
+domain B = ring outlines on light background with a color mapping. Writes
+image folders and TFRecord shards.
+
+    python tools/make_demo_domains.py --out /tmp/domains --n 600
+"""
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="/tmp/domains")
+    p.add_argument("--n", type=int, default=600)
+    p.add_argument("--hw", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rng = np.random.RandomState(args.seed)
+    for dom in ("a", "b"):
+        os.makedirs(f"{args.out}/{dom}", exist_ok=True)
+    hw = args.hw
+    for i in range(args.n):
+        cx, cy = rng.randint(hw // 4, 3 * hw // 4, 2)
+        rad = rng.randint(hw // 8, hw // 3)
+        hue = rng.randint(0, 3)
+        img = Image.new("RGB", (hw, hw), (20, 20, 30))
+        d = ImageDraw.Draw(img)
+        color = [(200, 60, 60), (60, 200, 60), (60, 60, 200)][hue]
+        d.ellipse([cx - rad, cy - rad, cx + rad, cy + rad], fill=color)
+        img.save(f"{args.out}/a/{i}.png")
+        img = Image.new("RGB", (hw, hw), (235, 235, 225))
+        d = ImageDraw.Draw(img)
+        color_b = [(55, 195, 195), (195, 55, 195), (195, 195, 55)][hue]
+        d.ellipse([cx - rad, cy - rad, cx + rad, cy + rad], outline=color_b, width=4)
+        img.save(f"{args.out}/b/{i}.png")
+
+    from twingan_tpu.data.converters import convert_image_folder
+
+    na = convert_image_folder(f"{args.out}/a", f"{args.out}/rec_a", split="train", num_shards=2)
+    nb = convert_image_folder(f"{args.out}/b", f"{args.out}/rec_b", split="train", num_shards=2)
+    print(f"wrote {na}+{nb} records under {args.out}/rec_a and rec_b")
+
+
+if __name__ == "__main__":
+    main()

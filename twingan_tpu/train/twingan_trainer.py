@@ -52,7 +52,13 @@ from twingan_tpu.train.losses import (
     l1_loss,
 )
 from twingan_tpu.train.optimizers import OptimizerConfig, build_optimizer
-from twingan_tpu.train.state import GanTrainState, apply_model, init_model, update_gdrop_state
+from twingan_tpu.train.state import (
+    GanTrainState,
+    apply_model,
+    init_model,
+    polyak_update,
+    update_gdrop_state,
+)
 
 ENC = "encoder_content"
 ENC_STYLE = "encoder_style"
@@ -97,6 +103,8 @@ class TwinGANConfig:
     distillation_start_hw: int = 16
     source_embed_dim: int = 0            # e.g. 512 for celeba_facenet
     target_embed_dim: int = 0
+    # Polyak averaging of generator-side params for eval (0 disables).
+    moving_average_decay: float = 0.0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -191,11 +199,17 @@ class TwinGANTrainer(BaseGanTrainer):
 
         gen_side = {k: params[k] for k in self.generator_side_keys}
         dis_side = {k: params[k] for k in self.discriminator_side_keys}
+        gen_ema = (
+            jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), gen_side)
+            if cfg.moving_average_decay
+            else None
+        )
         return GanTrainState(
             step=jnp.zeros((), jnp.int32),
             critic_step=jnp.zeros((), jnp.int32),
             params=params,
             model_state=model_state,
+            gen_ema_params=gen_ema,
             gen_opt_state=self.gen_tx.init(gen_side),
             dis_opt_state=self.dis_tx.init(dis_side),
             gdrop_strength=jnp.zeros((), jnp.float32),
@@ -399,6 +413,11 @@ class TwinGANTrainer(BaseGanTrainer):
         new_model_state = dict(state.model_state)
         for k in gen_keys:
             new_model_state[k] = new_gen_state[k]
+        new_ema_params = state.gen_ema_params
+        if cfg.moving_average_decay:
+            new_ema_params = polyak_update(
+                state.gen_ema_params, new_gen_side, cfg.moving_average_decay
+            )
         new_state = state.replace(
             step=state.step + 1,
             critic_step=state.critic_step + 1,
@@ -407,6 +426,7 @@ class TwinGANTrainer(BaseGanTrainer):
             gen_opt_state=new_opt,
             gen_loss_ema=new_ema,
             gdrop_strength=new_strength,
+            gen_ema_params=new_ema_params,
         )
         metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength, **losses}
         return new_state, metrics
@@ -505,6 +525,9 @@ class TwinGANTrainer(BaseGanTrainer):
         src_domain = DOMAIN_S if direction == "s2t" else DOMAIN_T
         out_domain = DOMAIN_T if direction == "s2t" else DOMAIN_S
         params, model_state = state.params, state.model_state
+        if state.gen_ema_params is not None:
+            # Moving-average eval weights (reference model_inheritor.py:1150).
+            params = {**params, **state.gen_ema_params}
         (code, skips), _ = apply_model(
             self.enc, params[ENC], model_state[ENC], images, domain=src_domain, train=False,
         )
