@@ -86,10 +86,12 @@ def main(argv=None) -> None:
         trainer, state = inferer.trainer, inferer.state
 
         def loss_fn(batch):
-            # One forward in eval mode; report the generator-side losses.
-            _, metrics = trainer.g_step(
-                jax.tree_util.tree_map(jnp.asarray, state), batch, jax.random.PRNGKey(0)
+            # One G-step on a deep copy (the step donates its input state;
+            # views of inferer.state would be invalidated after one batch).
+            state_copy = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), state
             )
+            _, metrics = trainer.g_step(state_copy, batch, jax.random.PRNGKey(0))
             return {k: v for k, v in metrics.items() if np.ndim(v) == 0}
 
         n = max(1, args.num_images // args.batch_size)
