@@ -129,3 +129,52 @@ class TestServer:
         # Server still healthy afterwards.
         with urllib.request.urlopen(f"{server}/healthz") as r:
             assert json.loads(r.read())["status"] == "ok"
+
+
+class TestBatchingClient:
+    def test_coalesces_concurrent_requests(self):
+        import threading
+        from twingan_tpu.serve.clients import BatchingLocalClient
+
+        calls = []
+
+        class FakeInferer:
+            image_hw = 8
+
+            def infer_batch(self, images):
+                calls.append(len(images))
+                return [np.zeros((8, 8, 3), np.float32) + len(images) for _ in images]
+
+        client = BatchingLocalClient(FakeInferer(), max_batch=8, max_wait_ms=100.0)
+        results = [None] * 6
+
+        def hit(i):
+            results[i] = client.do_inference(np.zeros((8, 8, 3), np.uint8))
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        client.close()
+        assert all(r is not None for r in results)
+        # The 6 concurrent requests ran in fewer than 6 dispatches, and every
+        # dispatch was padded to the fixed max_batch (single compiled shape).
+        assert len(calls) < 6
+        assert all(c == 8 for c in calls)
+
+    def test_error_propagates(self):
+        from twingan_tpu.serve.clients import BatchingLocalClient
+
+        class Broken:
+            image_hw = 8
+
+            def infer_batch(self, images):
+                raise RuntimeError("boom")
+
+        client = BatchingLocalClient(Broken(), max_wait_ms=1.0)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            client.do_inference(np.zeros((8, 8, 3), np.uint8))
+        client.close()

@@ -101,3 +101,73 @@ class Waifu2xClient:
                 return np.asarray(out.convert("RGB"), np.float32) / 255.0
         except Exception:
             return None  # upscaling is best-effort, like the reference
+
+
+class BatchingLocalClient:
+    """Wraps a local client with a request-coalescing queue: concurrent
+    requests are batched into one TPU dispatch (up to ``max_batch``, waiting
+    at most ``max_wait_ms`` for co-riders). The reference serves each face
+    with an individual gRPC predict; batching is where TPU serving
+    throughput comes from (docs/PERFORMANCE.md batch sweep)."""
+
+    def __init__(self, inferer, max_batch: int = 16, max_wait_ms: float = 5.0):
+        import queue
+        import threading
+
+        self.inferer = inferer
+        self.image_hw = getattr(inferer, "image_hw", 0)
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        import queue as queue_mod
+        import time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue_mod.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue_mod.Empty:
+                    break
+                if item is None:
+                    return
+                batch.append(item)
+            images = [img for img, _ in batch]
+            # Pad to the fixed max_batch so only ONE shape ever compiles
+            # (tunnel compiles are expensive; see CLAUDE.md).
+            padded = images + [images[-1]] * (self.max_batch - len(images))
+            try:
+                outs = self.inferer.infer_batch(padded)[: len(images)]
+                for (_, fut), out in zip(batch, outs):
+                    fut.set_result(out)
+            except Exception as e:  # noqa: BLE001
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def do_inference(self, image: np.ndarray) -> np.ndarray:
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((image, fut))
+        return fut.result(timeout=300)
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)
+        self._thread.join(timeout=5)

@@ -28,6 +28,7 @@ import numpy as np
 from PIL import Image as PILImage
 
 from twingan_tpu.serve.clients import (
+    BatchingLocalClient,
     LocalTwinGANClient,
     MockTwinGANClient,
     RemoteTwinGANClient,
@@ -59,8 +60,11 @@ class TranslationService:
         faces = self.detector.crop_faces(image)[: self.max_faces]
         outputs = []
         for i, face in enumerate(faces):
-            with self._lock:  # one TPU dispatch at a time
-                translated = self.client.do_inference(face)
+            if isinstance(self.client, BatchingLocalClient):
+                translated = self.client.do_inference(face)  # queue batches
+            else:
+                with self._lock:  # one TPU dispatch at a time
+                    translated = self.client.do_inference(face)
             if self.waifu2x is not None:
                 upscaled = self.waifu2x.post_request(translated)
                 if upscaled is not None:
@@ -178,7 +182,9 @@ def build_service(args) -> TranslationService:
     elif args.serving_url:
         client = RemoteTwinGANClient(args.serving_url, image_hw=args.image_hw or 256)
     else:
-        client = LocalTwinGANClient(args.model_path, args.image_hw, args.direction)
+        local = LocalTwinGANClient(args.model_path, args.image_hw, args.direction)
+        client = BatchingLocalClient(local.inferer, max_batch=args.serve_batch) \
+            if args.serve_batch > 1 else local
     waifu2x = Waifu2xClient(args.waifu2x_url) if args.waifu2x_url else None
     detector = FaceDetector(max_faces=args.max_faces)
     return TranslationService(client, detector, args.output_dir, waifu2x, args.max_faces)
@@ -195,6 +201,8 @@ def main(argv=None):
     p.add_argument("--output_dir", default="/tmp/twingan_serve_outputs")
     p.add_argument("--waifu2x_url", default="")
     p.add_argument("--max_faces", type=int, default=4)
+    p.add_argument("--serve_batch", type=int, default=8,
+                   help="coalesce concurrent requests into one TPU batch (1 disables)")
     p.add_argument("--debug", action="store_true", help="mock model (no checkpoint needed)")
     args = p.parse_args(argv)
     if not args.debug and not args.serving_url and not args.model_path:
