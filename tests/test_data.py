@@ -418,3 +418,39 @@ class TestPreprocessingFactory:
         assert json.loads(lines[0])["loss"] == 0.5
         # TB event file written when tf is available.
         assert any(f.startswith("events") for f in os.listdir(tmp_path / "logs"))
+
+
+class TestSampleCache:
+    def test_second_epoch_uses_cache(self, tmp_path, monkeypatch):
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.pipeline import TFRecordSource
+        from twingan_tpu.data.tfrecord import list_shards
+        from twingan_tpu.data import datasets as ds_mod
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            PILImage.fromarray((rng.rand(20, 20, 3) * 255).astype(np.uint8)).save(
+                d / f"i{i}.png"
+            )
+        out = str(tmp_path / "rec")
+        convert_image_folder(str(d), out, num_shards=1)
+        decode_calls = {"n": 0}
+        real = ds_mod._decode_image_only
+
+        def counting(payload, spec):
+            decode_calls["n"] += 1
+            return real(payload, spec)
+
+        spec = get_dataset("image_only")
+        monkeypatch.setattr(spec, "decode", counting)
+        src = TFRecordSource(
+            spec, list_shards(out, "train"),
+            PreprocessConfig(output_hw=16), batch_size=4, repeat=True,
+        )
+        it = iter(src)
+        next(it)  # epoch 1: decodes all 4
+        assert decode_calls["n"] == 4
+        next(it)  # epoch 2: all cached
+        assert decode_calls["n"] == 4

@@ -54,6 +54,8 @@ class TFRecordSource:
         seed: int = 0,
         repeat: bool = True,
         drop_remainder: bool = True,
+        cache: bool = True,
+        cache_max_bytes: int = 4 << 30,
     ):
         if not shard_paths:
             raise ValueError(f"no tfrecord shards given for dataset {spec.name}")
@@ -67,12 +69,23 @@ class TFRecordSource:
         self.index = [(si, ri) for si, r in enumerate(self.readers) for ri in range(len(r))]
         if not self.index:
             raise ValueError(f"tfrecord shards for {spec.name} are empty")
+        # Decoded-sample cache: after one epoch, decode/resize never runs
+        # again (image decode on this 1-core host is the pipeline bottleneck;
+        # the augmentation stays random because it runs on device).
+        self._cache: dict = {} if cache else None
+        self._cache_bytes = 0
+        self._cache_max_bytes = cache_max_bytes
 
     @property
     def num_samples(self) -> int:
         return len(self.index)
 
     def _sample(self, si: int, ri: int) -> Dict[str, np.ndarray]:
+        random_resize = self.preprocess.resize_mode.startswith("RANDOM")
+        if self._cache is not None and not random_resize:
+            cached = self._cache.get((si, ri))
+            if cached is not None:
+                return cached
         item = self.spec.parse(self.readers[si][ri])
         pp = self.preprocess
         for key in ("source", "target", "image"):
@@ -82,6 +95,13 @@ class TFRecordSource:
                     img, pp.resize_mode, pp.host_hw, rng=self._rng,
                     initial_crop_hw=pp.initial_crop_hw,
                 )
+        if self._cache is not None and not random_resize and (
+            self._cache_bytes < self._cache_max_bytes
+        ):
+            self._cache[(si, ri)] = item
+            self._cache_bytes += sum(
+                getattr(v, "nbytes", 0) for v in item.values()
+            )
         return item
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
