@@ -230,9 +230,13 @@ class TwinGANTrainer(BaseGanTrainer):
         rng: jax.Array,
         train: bool,
         update_gen_state: bool,
+        light: bool = False,
     ):
         """The four-generator-pass TwinGAN forward. Returns (outs, new_state)
-        where outs carries every tensor the losses need."""
+        where outs carries every tensor the losses need. ``light`` skips the
+        prime re-encodes / style / distillation heads (discriminator steps
+        only need the four generated images — the reference recomputes
+        everything every step; we don't)."""
         cfg = self.cfg
         new_state = dict(model_state)
         k_style = jax.random.fold_in(rng, 7)
@@ -286,10 +290,13 @@ class TwinGANTrainer(BaseGanTrainer):
 
         # Re-encode primes for the content/style losses (no state updates:
         # the reference reuses the same norm update ops once per step).
-        enc_t_prime, _ = enc_apply(t_prime, DOMAIN_T, False)
-        enc_s_prime, _ = enc_apply(s_prime, DOMAIN_S, False)
-        style_s_prime = style_apply(s_prime, DOMAIN_S, False)
-        style_t_prime = style_apply(t_prime, DOMAIN_T, False)
+        if light:
+            enc_t_prime = enc_s_prime = style_s_prime = style_t_prime = None
+        else:
+            enc_t_prime, _ = enc_apply(t_prime, DOMAIN_T, False)
+            enc_s_prime, _ = enc_apply(s_prime, DOMAIN_S, False)
+            style_s_prime = style_apply(s_prime, DOMAIN_S, False)
+            style_t_prime = style_apply(t_prime, DOMAIN_T, False)
 
         outs = dict(
             sources=sources, targets=targets,
@@ -301,7 +308,7 @@ class TwinGANTrainer(BaseGanTrainer):
         )
 
         # Distillation heads.
-        if cfg.do_encoder_distillation and cfg.model.resolution >= cfg.distillation_start_hw:
+        if (not light) and cfg.do_encoder_distillation and cfg.model.resolution >= cfg.distillation_start_hw:
             def distill_apply(name, code):
                 out, st = apply_model(
                     self.distill[name], params[name], new_state[name], code,
@@ -442,7 +449,7 @@ class TwinGANTrainer(BaseGanTrainer):
 
         outs, _ = self._forward(
             state.params, state.model_state, sources, targets, alpha, clip, k_fwd,
-            train=True, update_gen_state=False,
+            train=True, update_gen_state=False, light=True,
         )
         fakes = {
             k: jax.lax.stop_gradient(outs[k])
