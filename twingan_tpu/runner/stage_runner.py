@@ -284,15 +284,18 @@ class StageRunner:
         self._last_log_step = start_step
         self._nan_recoveries = 0
         profiled = False
+        profiling_active = False
         try:
             step = start_step
             while step < steps:
                 if (
                     cfg.profile_stage_steps
                     and not profiled
+                    and not profiling_active
                     and step >= start_step + 2  # skip compile
                 ):
                     jax.profiler.start_trace(os.path.join(stage_dir, "profile"))
+                    profiling_active = True
                 if cfg.rounds_per_scan > 1:
                     n = min(cfg.rounds_per_scan, steps - step)
                     if n == cfg.rounds_per_scan:
@@ -304,8 +307,9 @@ class StageRunner:
                 else:
                     state, metrics = trainer.round_step(state, next_batches(), rng)
                     step += 1
-                if cfg.profile_stage_steps and not profiled and step >= start_step + 2 + cfg.profile_stage_steps:
+                if profiling_active and step >= start_step + 2 + cfg.profile_stage_steps:
                     jax.profiler.stop_trace()
+                    profiling_active = False
                     profiled = True
                 cur = int(state.step)
                 # Failure detection: non-finite loss -> restore + continue.
