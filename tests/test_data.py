@@ -454,3 +454,32 @@ class TestSampleCache:
         assert decode_calls["n"] == 4
         next(it)  # epoch 2: all cached
         assert decode_calls["n"] == 4
+
+
+class TestBlurFilter:
+    def test_blur_score_orders_sharp_vs_blurry(self):
+        from twingan_tpu.data.converters import blur_score
+
+        rng = np.random.RandomState(0)
+        sharp = (rng.rand(64, 64, 3) * 255).astype(np.float32)
+        from PIL import ImageFilter
+
+        blurry = np.asarray(
+            PILImage.fromarray(sharp.astype(np.uint8)).filter(ImageFilter.GaussianBlur(4)),
+            np.float32,
+        )
+        assert blur_score(sharp) > blur_score(blurry) * 5
+
+    def test_converter_min_sharpness_filters(self, tmp_path):
+        from twingan_tpu.data.converters import convert_image_folder
+        from PIL import ImageFilter
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        sharp = PILImage.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8))
+        sharp.save(d / "sharp.png")
+        sharp.filter(ImageFilter.GaussianBlur(6)).save(d / "blurry.png")
+        out = str(tmp_path / "rec")
+        n = convert_image_folder(str(d), out, num_shards=1, min_sharpness=100.0)
+        assert n == 1

@@ -40,13 +40,23 @@ def shard_path(out_dir: str, dataset_name: str, split: str, shard: int, num_shar
     )
 
 
+def blur_score(image: np.ndarray) -> float:
+    """Variance of the Laplacian — the reference's blur detector
+    (datasets/dataset_utils.py:196-200); higher = sharper."""
+    import cv2
+
+    gray = (image @ np.asarray([0.299, 0.587, 0.114], np.float32)).astype(np.float32)
+    return float(cv2.Laplacian(gray, cv2.CV_32F).var())
+
+
 def _load_and_filter(
     path: str,
     min_hw: int = 0,
     max_ratio: float = 0.0,
     encode_format: str = "jpeg",
+    min_sharpness: float = 0.0,
 ) -> Optional[dict]:
-    """Reads, filters (min size / aspect ratio like the reference base
+    """Reads, filters (min size / aspect ratio / blur like the reference base
     converter), and re-encodes one image. Returns a feature dict or None."""
     try:
         img = PILImage.open(path)
@@ -57,6 +67,8 @@ def _load_and_filter(
     if min_hw and min(h, w) < min_hw:
         return None
     if max_ratio and max(h, w) / max(min(h, w), 1) > max_ratio:
+        return None
+    if min_sharpness and blur_score(np.asarray(img, np.float32)) < min_sharpness:
         return None
     buf = io.BytesIO()
     img.save(buf, format="JPEG" if encode_format == "jpeg" else "PNG", quality=95)
@@ -75,6 +87,7 @@ def convert_image_folder(
     num_shards: int = 4,
     min_hw: int = 0,
     max_ratio: float = 0.0,
+    min_sharpness: float = 0.0,
     num_threads: int = 4,
     extra_features: Optional[Callable[[str], Optional[dict]]] = None,
 ) -> int:
@@ -90,7 +103,8 @@ def convert_image_folder(
                 continue
             with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
                 for feats in pool.map(
-                    lambda p: _load_and_filter(p, min_hw, max_ratio), chunk
+                    lambda p: _load_and_filter(p, min_hw, max_ratio,
+                                               min_sharpness=min_sharpness), chunk
                 ):
                     if feats is None:
                         continue
