@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Self-locating: the repo root on sys.path without PYTHONPATH (which shadows
+# modules the axon jax plugin imports).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
