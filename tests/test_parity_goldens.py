@@ -84,3 +84,10 @@ class TestChannelScheduleGoldens:
         assert runner.steps_for_stage(4) == 300000 // 8
         assert runner.steps_for_stage(256) == 300000 // 3
         assert TWINGAN_BATCH_SCHEDULE == {4: 8, 8: 8, 16: 8, 32: 8, 64: 8, 128: 4, 256: 3, 512: 2}
+
+
+def test_min_channels_floor():
+    cfg = PGGANConfig(resolution=256, max_channels=256, min_channels=64)
+    assert cfg.channels(6) == 64  # floored (was 16)
+    assert cfg.channels(0) == 256  # unchanged
+    assert PGGANConfig(resolution=256, max_channels=256).channels(6) == 16
