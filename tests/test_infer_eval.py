@@ -209,21 +209,35 @@ class TestTFImportMapping:
 
         cases = {
             "encoder_content/from_rgb_256x256/Conv/weights":
-                ("encoder_content", ("from_rgb_256_conv", "conv", "kernel"), False),
+                ("encoder_content", ("from_rgb_256_conv", "conv", "kernel"), None),
             "encoder_content/encoder_block_128x128x256/Conv_1/BatchNorm/beta_s":
-                ("encoder_content", ("block_128_conv1", "norm", "beta_0"), False),
+                ("encoder_content", ("block_128_conv1", "norm", "beta_0"), None),
             "encoder_content/encoder_block_128x128x256/Conv_1/BatchNorm/moving_mean_t":
-                ("encoder_content", ("block_128_conv1", "norm", "moving_mean_1"), True),
+                ("encoder_content", ("block_128_conv1", "norm", "moving_mean_1"), "batch_stats"),
             "generator/block_8x8x256/Conv/weights":
-                ("generator", ("block_8_conv0", "conv", "kernel"), False),
+                ("generator", ("block_8_conv0", "conv", "kernel"), None),
             "generator/generator_to_rgb_256x256/Conv/weights":
-                ("generator", ("to_rgb_256", "conv", "kernel"), False),
+                ("generator", ("to_rgb_256", "conv", "kernel"), None),
             "discriminator_t/before_fc_1x1x256/Conv_1/biases":
-                ("discriminator_t", ("before_fc_conv1", "conv", "bias"), False),
+                ("discriminator_t", ("before_fc_conv1", "conv", "bias"), None),
             "discriminator_t/prediction/fully_connected/weights":
-                ("discriminator_t", ("prediction", "kernel"), False),
+                ("discriminator_t", ("prediction", "kernel"), None),
             "generator/block_4x4x256/Conv_1/BatchNorm/gamma_t":
-                ("generator", ("block_4_conv1", "norm", "gamma_1"), False),
+                ("generator", ("block_4_conv1", "norm", "gamma_1"), None),
+            # Self-attention module (reference pggan_utils.py:301-308 +
+            # libs/self_attention.py:24-70).
+            "generator/self_attention_64x64x64/sa_f/weights":
+                ("generator", ("self_attention_64", "sa_f", "conv", "kernel"), None),
+            "generator/self_attention_64x64x64/sa_gamma":
+                ("generator", ("self_attention_64", "sa_gamma"), None),
+            "discriminator_s/self_attention_64x64x64/sa_h/u":
+                ("discriminator_s", ("self_attention_64", "sa_h", "conv", "u"), "spectral"),
+            # Resblock shortcut 1x1 conv (reference pggan_utils.py:334-342).
+            "generator/block_16x16x128/shortcut/weights":
+                ("generator", ("block_16_res", "shortcut", "conv", "kernel"), None),
+            # Spectral-norm power-iteration vector (reference libs/sn.py:56).
+            "discriminator_t/block_8x8x256/Conv/u":
+                ("discriminator_t", ("block_8_conv0", "conv", "u"), "spectral"),
         }
         for tf_name, want in cases.items():
             assert map_var_name(tf_name) == want, tf_name

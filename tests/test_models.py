@@ -278,6 +278,34 @@ class TestPerDeviceBNParity:
         yg = np.asarray(yg)
         assert abs(yg[:4].mean()) > 0.1  # halves keep their offset globally
 
+    def test_grouped_batch_renorm(self):
+        """bn_num_groups must also apply to batch_renorm (per-clone renorm
+        statistics; previously silently ignored — ADVICE round 1)."""
+        from twingan_tpu.models.layers import DomainNorm, NormCtx
+
+        norm = DomainNorm(kind="batch_renorm", num_groups=2)
+        rng = np.random.RandomState(1)
+        a = rng.randn(4, 4, 4, 3).astype(np.float32) * 2 + 5
+        b = rng.randn(4, 4, 4, 3).astype(np.float32) * 0.5 - 3
+        x = jnp.asarray(np.concatenate([a, b]))
+        ctx = NormCtx(train=True)
+        variables = norm.init(jax.random.PRNGKey(0), x, ctx)
+        y, mut = norm.apply(variables, x, ctx, mutable=["batch_stats"])
+        y = np.asarray(y)
+        # On the first step r=1, d=0 (fresh EMAs), so each half is
+        # independently whitened exactly like grouped batch_norm.
+        for half in (y[:4], y[4:]):
+            np.testing.assert_allclose(half.mean((0, 1, 2)), 0.0, atol=1e-3)
+            np.testing.assert_allclose(half.std((0, 1, 2)), 1.0, atol=2e-2)
+        # The shared renorm EMAs advanced (group-averaged moments).
+        stats = mut["batch_stats"]
+        assert float(stats["renorm_mean_weight_0"]) > 0.0
+        expected_mean = 0.5 * (a.mean((0, 1, 2)) + b.mean((0, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(stats["renorm_mean_0"]) / float(stats["renorm_mean_weight_0"]),
+            expected_mean, rtol=1e-4, atol=1e-5,
+        )
+
     def test_trainer_runs_with_groups(self):
         from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
         from twingan_tpu.train.optimizers import OptimizerConfig

@@ -168,6 +168,33 @@ class TestSpectralNorm:
         sv = np.linalg.svd(w.reshape(-1, 16), compute_uv=False)[0]
         np.testing.assert_allclose(np.asarray(w_sn), w / sv, rtol=1e-2)
 
+    def test_gradient_flows_through_sigma(self):
+        """d(W/sigma)/dW must carry the -(v'Wu)·W/sigma^2 term (Miyato SN;
+        reference libs/sn.py:86-89), not treat sigma as a constant. With
+        converged u/v, d sigma = u_i v_j (Danskin), so the analytic gradient
+        of sum(W/sigma) is 1/sigma - (sum(W)/sigma^2)·(v u^T) — check against
+        finite differences of the full normalize-and-sum function."""
+        rng = np.random.RandomState(3)
+        w = rng.randn(12, 6).astype(np.float32)
+        u0 = rng.randn(6)
+        u0 = (u0 / np.linalg.norm(u0)).astype(np.float32)
+
+        def loss(w):
+            w_sn, _ = ops.spectral_normalize(
+                jnp.asarray(w), jnp.asarray(u0), num_iters=100
+            )
+            return jnp.sum(w_sn)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(w)))
+        U, S, Vt = np.linalg.svd(w.astype(np.float64))
+        sigma = S[0]
+        # Our convention: w_mat is [in, out]; v ~ U[:, 0], u ~ Vt[0]; the
+        # outer product v u^T is invariant to the joint SVD sign flip.
+        expected = 1.0 / sigma - (w.sum() / sigma**2) * np.outer(U[:, 0], Vt[0])
+        np.testing.assert_allclose(g, expected, rtol=1e-3, atol=1e-4)
+        # And it must differ from the constant-sigma gradient 1/sigma.
+        assert not np.allclose(g, 1.0 / sigma, atol=1e-4)
+
     def test_no_update_keeps_u(self):
         rng = np.random.RandomState(2)
         w = jnp.asarray(rng.randn(4, 4).astype(np.float32))

@@ -17,6 +17,12 @@ Slim conv scopes inside a block are Conv, Conv_1, ...; norms live under
 <conv scope>/BatchNorm with the '_s'/'_t' domain postfix on each param
 (libs/batch_norm.py:130,153). Weight layouts match directly: conv HWIO,
 fc [in, out].
+
+Known divergence: for models trained with use_larger_filter_at_rgb_layer,
+the growing-stage prev to_rgb kernel here is min(7, (hw/2)/2) (growth-stable
+weight sharing) while the reference builds min(7, hw/2) at that point
+(nets/pggan.py:173-178) — such checkpoints surface as shape_mismatch entries
+in the report rather than importing silently wrong.
 """
 
 from __future__ import annotations
@@ -57,9 +63,11 @@ def _split_domain(name: str) -> Tuple[str, int]:
     return name, 0
 
 
-def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
-    """TF1 variable name -> (network key, our param path, is_batch_stat).
+def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, Optional[str]]]:
+    """TF1 variable name -> (network key, our param path, collection).
 
+    ``collection`` is None for trainable params, 'batch_stats' for norm
+    moving statistics, 'spectral' for the power-iteration ``u`` vectors.
     Returns None for unmapped names (optimizer slots, counters, ...).
     """
     tf_name = tf_name.split(":")[0]
@@ -75,6 +83,25 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
         return None
 
     block = rest[0]
+    leaf = rest[-1]
+
+    # Self-attention module (reference pggan_utils.py:301-308 scope
+    # 'self_attention_<hw>x<hw>x<c>' containing sa_f/sa_g/sa_h sn-convs and
+    # the sa_gamma scalar from libs/self_attention.py:24-70).
+    m = re.match(r"self_attention_(\d+)x\d+x\d+$", block)
+    if m:
+        layer = f"self_attention_{m.group(1)}"
+        if leaf == "sa_gamma":
+            return net, (layer, "sa_gamma"), None
+        if len(rest) >= 2 and rest[1] in ("sa_f", "sa_g", "sa_h"):
+            if leaf == "weights":
+                return net, (layer, rest[1], "conv", "kernel"), None
+            if leaf == "biases":
+                return net, (layer, rest[1], "conv", "bias"), None
+            if leaf == "u":
+                return net, (layer, rest[1], "conv", "u"), "spectral"
+        return None
+
     # Scope name -> our layer prefix.
     m = re.match(r"(?:encoder_)?block_(\d+)x\d+(?:x\d+)?$", block)
     if m:
@@ -92,15 +119,27 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
                 if m:
                     layer = "before_fc"
                 elif block == "prediction":
-                    # prediction/fully_connected/{weights,biases}
-                    leaf = rest[-1]
+                    # prediction/fully_connected/{weights,biases,u}
                     if leaf == "weights":
-                        return net, ("prediction", "kernel"), False
+                        return net, ("prediction", "kernel"), None
                     if leaf == "biases":
-                        return net, ("prediction", "bias"), False
+                        return net, ("prediction", "bias"), None
+                    if leaf == "u":
+                        return net, ("prediction", "u"), "spectral"
                     return None
                 else:
                     return None
+
+    # Resblock shortcut 1x1 conv (reference pggan_utils.py:334-342, scope
+    # 'shortcut' inside the block scope; ours lives under block_<hw>_res).
+    if "shortcut" in rest[1:] and layer.startswith("block_"):
+        if leaf == "weights":
+            return net, (f"{layer}_res", "shortcut", "conv", "kernel"), None
+        if leaf == "biases":
+            return net, (f"{layer}_res", "shortcut", "conv", "bias"), None
+        if leaf == "u":
+            return net, (f"{layer}_res", "shortcut", "conv", "u"), "spectral"
+        return None
 
     # Conv index inside the block: Conv -> conv0, Conv_1 -> conv1.
     conv_idx = 0
@@ -111,7 +150,6 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
             conv_idx = int(cm.group(1) or 0)
         elif p in ("BatchNorm", "InstanceNorm"):
             norm_tail = "norm"
-    leaf = rest[-1]
 
     if layer.startswith(("to_rgb", "from_rgb")):
         layer_name = layer if layer.startswith("to_rgb") else f"{layer}_conv"
@@ -119,14 +157,16 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, bool]]:
         layer_name = f"{layer}_conv{conv_idx}"
 
     if leaf == "weights":
-        return net, (layer_name, "conv", "kernel"), False
+        return net, (layer_name, "conv", "kernel"), None
     if leaf == "biases":
-        return net, (layer_name, "conv", "bias"), False
+        return net, (layer_name, "conv", "bias"), None
+    if leaf == "u":
+        return net, (layer_name, "conv", "u"), "spectral"
     stem, domain = _split_domain(leaf)
     if stem in _NORM_PARAMS and norm_tail:
         ours = f"{_NORM_PARAMS[stem]}_{domain}"
-        is_stat = stem.startswith(("moving", "renorm"))
-        return net, (layer_name, "norm", ours), is_stat
+        collection = "batch_stats" if stem.startswith(("moving", "renorm")) else None
+        return net, (layer_name, "norm", ours), collection
     return None
 
 
@@ -142,18 +182,30 @@ def import_tf_checkpoint(ckpt_path: str, state, strict: bool = False):
     reader = tf.train.load_checkpoint(ckpt_path)
     shapes = reader.get_variable_to_shape_map()
     sd = flax.serialization.to_state_dict(state)
-    report = {"mapped": [], "unmapped": [], "missing_target": [], "shape_mismatch": []}
+    report = {
+        "mapped": [], "unmapped": [], "unmapped_in_scope": [],
+        "missing_target": [], "shape_mismatch": [],
+    }
+    _slot_suffixes = ("Adam", "Adam_1", "RMSProp", "RMSProp_1", "Momentum",
+                      "ExponentialMovingAverage", "biased", "local_step")
 
     for tf_name in sorted(shapes):
         mapped = map_var_name(tf_name)
         if mapped is None:
-            report["unmapped"].append(tf_name)
+            scope = tf_name.split("/")[0]
+            leaf = tf_name.split(":")[0].split("/")[-1]
+            if scope in _SCOPE_TO_NET and leaf not in _slot_suffixes:
+                # A model variable from a network scope we claim to map —
+                # silent fresh-init here would corrupt a fidelity import.
+                report["unmapped_in_scope"].append(tf_name)
+            else:
+                report["unmapped"].append(tf_name)
             continue
-        net, path, is_stat = mapped
-        root = sd["model_state" if is_stat else "params"]
+        net, path, collection = mapped
+        root = sd["params" if collection is None else "model_state"]
         cursor = root.get(net)
-        if cursor is not None and is_stat:
-            cursor = cursor.get("batch_stats")
+        if cursor is not None and collection is not None:
+            cursor = cursor.get(collection)
         for key in path[:-1]:
             if cursor is None:
                 break
@@ -161,15 +213,21 @@ def import_tf_checkpoint(ckpt_path: str, state, strict: bool = False):
         if cursor is None or path[-1] not in cursor:
             report["missing_target"].append(f"{tf_name} -> {net}/{'/'.join(path)}")
             continue
-        value = reader.get_tensor(tf_name)
-        if tuple(np.shape(cursor[path[-1]])) != tuple(np.shape(value)):
-            report["shape_mismatch"].append(
-                f"{tf_name}: {np.shape(value)} -> {np.shape(cursor[path[-1]])}"
-            )
-            continue
-        cursor[path[-1]] = np.asarray(value)
+        value = np.asarray(reader.get_tensor(tf_name))
+        target_shape = tuple(np.shape(cursor[path[-1]]))
+        if target_shape != value.shape:
+            if value.size == int(np.prod(target_shape)):
+                # e.g. the spectral-norm u: TF keeps [1, out], we keep [out].
+                value = value.reshape(target_shape)
+            else:
+                report["shape_mismatch"].append(
+                    f"{tf_name}: {value.shape} -> {target_shape}"
+                )
+                continue
+        cursor[path[-1]] = value
         report["mapped"].append(tf_name)
 
-    if strict and (report["missing_target"] or report["shape_mismatch"]):
+    if strict and (report["missing_target"] or report["shape_mismatch"]
+                   or report["unmapped_in_scope"]):
         raise ValueError(f"import incomplete: {report}")
     return flax.serialization.from_state_dict(state, sd), report

@@ -251,8 +251,10 @@ class DomainNorm(nn.Module):
         bank = stats[ctx.domain]
 
         if ctx.train:
-            if self.num_groups and self.num_groups > 1 and not renorm:
-                # Per-group (per-device-shard) statistics.
+            if self.num_groups and self.num_groups > 1:
+                # Per-group (per-device-shard) statistics — parity with the
+                # reference's per-clone moments (each GPU clone normalizes
+                # with its own batch moments regardless of norm type).
                 g = self.num_groups
                 b = xf.shape[0]
                 assert b % g == 0, (b, g)
@@ -261,21 +263,62 @@ class DomainNorm(nn.Module):
                 gvar = jnp.mean(
                     jnp.square(xg - gmean[:, None, None, None, :]), axis=(1, 2, 3)
                 )
-                y = norms_ops.normalize(
-                    xg, gmean[:, None, None, None, :], gvar[:, None, None, None, :],
-                    None, None, eps=eps,
-                ).reshape(xf.shape)
+                if renorm:
+                    clip = ctx.renorm_clip or {
+                        "rmax": norms_ops.RENORM_RMAX[-1],
+                        "rmin": norms_ops.RENORM_RMIN[-1],
+                        "dmax": norms_ops.RENORM_DMAX[-1],
+                    }
+                    state = {k: bank[k].value for k in
+                             ("renorm_mean", "renorm_mean_weight",
+                              "renorm_stddev", "renorm_stddev_weight")}
+                    # r/d per group against the shared renorm EMAs
+                    # ([g, C] broadcasts over the [C] state).
+                    r, d_corr, _ = norms_ops.batch_renorm_correction(
+                        gmean, gvar, state, clip, momentum=self.renorm_decay, eps=eps
+                    )
+                    y = norms_ops.normalize(
+                        xg, gmean[:, None, None, None, :],
+                        gvar[:, None, None, None, :], None, None, eps=eps,
+                    )
+                    y = (y * r[:, None, None, None, :]
+                         + d_corr[:, None, None, None, :]).reshape(xf.shape)
+                else:
+                    y = norms_ops.normalize(
+                        xg, gmean[:, None, None, None, :],
+                        gvar[:, None, None, None, :], None, None, eps=eps,
+                    ).reshape(xf.shape)
                 if gamma is not None:
                     y = y * gamma
                 if beta is not None:
                     y = y + beta
                 if self.is_mutable_collection("batch_stats") and not self.is_initializing():
-                    bank["moving_mean"].value = norms_ops.update_moving(
-                        bank["moving_mean"].value, jnp.mean(gmean, axis=0), decay
-                    )
-                    bank["moving_var"].value = norms_ops.update_moving(
-                        bank["moving_var"].value, jnp.mean(gvar, axis=0), decay
-                    )
+                    if renorm:
+                        # Shared EMAs advance with the group-averaged
+                        # moments (the reference's clones each update the
+                        # shared EMA; averaging is the SPMD equivalent).
+                        _, _, new_state = norms_ops.batch_renorm_correction(
+                            jnp.mean(gmean, axis=0), jnp.mean(gvar, axis=0),
+                            state, clip, momentum=self.renorm_decay, eps=eps,
+                        )
+                        for k, v in new_state.items():
+                            bank[k].value = v
+                        new_mean, new_var = norms_ops.renorm_moving_moments(
+                            new_state, eps=eps
+                        )
+                        bank["moving_mean"].value = norms_ops.update_moving(
+                            bank["moving_mean"].value, new_mean, decay
+                        )
+                        bank["moving_var"].value = norms_ops.update_moving(
+                            bank["moving_var"].value, new_var, decay
+                        )
+                    else:
+                        bank["moving_mean"].value = norms_ops.update_moving(
+                            bank["moving_mean"].value, jnp.mean(gmean, axis=0), decay
+                        )
+                        bank["moving_var"].value = norms_ops.update_moving(
+                            bank["moving_var"].value, jnp.mean(gvar, axis=0), decay
+                        )
                 return y.astype(x.dtype)
             mean, var = norms_ops.moments(xf, (0, 1, 2), axis_name=self.sync_axis)
             if renorm:

@@ -7,6 +7,14 @@ UNet skip lookup and the 4x4-block special cases are reproduced exactly;
 the implementation is a stage-unrolled Flax module re-jitted per growth
 stage instead of TF1 graph surgery.
 
+Deliberate divergence: with ``use_larger_filter_at_rgb_layer``, the growing
+stage's previous-resolution to_rgb uses kernel min(7, (hw/2)/2) — keyed by
+the layer's OWN resolution so the weights shape-match the layer it shares a
+name (and checkpoint entry) with. The reference literally uses min(7, hw/2)
+for that layer (nets/pggan.py:173-178), which would shape-mismatch its own
+cross-stage restore; TF-checkpoint import of such models must account for
+this (see infer/import_tf.py).
+
 Parameter naming is growth-stable: blocks/to_rgb/from_rgb layers are named by
 their resolution (``block_8``, ``to_rgb_32`` ...), so doubling the resolution
 adds new subtrees while every surviving layer keeps its name — checkpoint

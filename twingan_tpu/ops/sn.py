@@ -6,6 +6,11 @@ forward pass (updating ``u`` in place even at inference — warned about at
 sn.py:80-82). Here the iteration is explicit state: the layer passes the old
 ``u`` in and receives the new one, updated once per optimization step, which
 is the mathematically intended behavior.
+
+Gradient semantics match the reference (sn.py:86-89): the power-iteration
+vectors u/v are gradient-stopped, but sigma = v'Wu is computed on the LIVE
+weight, so d(W/sigma)/dW carries the -(v'Wu)·W/sigma^2 term of the Miyato
+spectral-norm formulation.
 """
 
 from __future__ import annotations
@@ -26,14 +31,18 @@ def power_iteration(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One (or more) rounds of power iteration on a [in, out] matrix.
 
-    Returns (sigma, new_u, v). All gradient-stopped: sigma enters the forward
-    pass as a constant scale, matching the reference's stop-gradient placement.
+    Returns (sigma, new_u, v). u and v are gradient-stopped (the iteration is
+    a fixed-point estimator, not a differentiable path), but sigma = v'Wu is
+    evaluated on the live ``w_mat`` so that gradients flow through the
+    normalization, matching the reference (libs/sn.py:86-89).
     """
-    w_mat = lax.stop_gradient(w_mat)
+    w_stop = lax.stop_gradient(w_mat)
     v = None
     for _ in range(num_iters):
-        v = _l2norm(u @ w_mat.T)  # [in]
-        u = _l2norm(v @ w_mat)  # [out]
+        v = _l2norm(u @ w_stop.T)  # [in]
+        u = _l2norm(v @ w_stop)  # [out]
+    u = lax.stop_gradient(u)
+    v = lax.stop_gradient(v)
     sigma = jnp.einsum("i,io,o->", v, w_mat, u)
     return sigma, u, v
 

@@ -244,20 +244,23 @@ class GanTrainer(BaseGanTrainer):
         fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(dis_params):
+            # Independent gdrop noise per discriminator pass (fake / real /
+            # gradient-penalty), matching the reference's fresh
+            # tf.random_normal per discriminator graph copy.
             (fake_pred, _), new_dis_state = self._apply_dis(
                 dis_params, state.model_state[DIS], fake, alpha,
-                state.gdrop_strength, k_gdrop, True, True,
+                state.gdrop_strength, jax.random.fold_in(k_gdrop, 0), True, True,
             )
             (real_pred, _), _ = self._apply_dis(
                 dis_params, state.model_state[DIS], real, alpha,
-                state.gdrop_strength, k_gdrop, True, False,
+                state.gdrop_strength, jax.random.fold_in(k_gdrop, 1), True, False,
             )
             losses = discriminator_gan_loss(cfg.loss, fake_pred, real_pred)
 
             def dis_fn(images):
                 (pred, _), _ = self._apply_dis(
                     dis_params, state.model_state[DIS], images, alpha,
-                    state.gdrop_strength, k_gdrop, True, False,
+                    state.gdrop_strength, jax.random.fold_in(k_gdrop, 2), True, False,
                 )
                 return pred
 

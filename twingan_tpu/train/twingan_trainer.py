@@ -396,11 +396,15 @@ class TwinGANTrainer(BaseGanTrainer):
                 train=True, update_gen_state=True,
             )
             preds = {}
-            for domain, dis_name in (("s", DIS_S), ("t", DIS_T)):
-                for kind in ("prime", "cycle"):
+            # Fresh gdrop noise per discriminator pass, matching the
+            # reference's independent tf.random_normal per graph copy
+            # (libs/gdrop.py used once per discriminator call).
+            for pi, (domain, dis_name) in enumerate((("s", DIS_S), ("t", DIS_T))):
+                for ki, kind in enumerate(("prime", "cycle")):
                     pred, _ = self._dis_apply(
                         dis_name, state.params, state.model_state,
-                        outs[f"{domain}_{kind}"], alpha, state.gdrop_strength, k_gdrop, False,
+                        outs[f"{domain}_{kind}"], alpha, state.gdrop_strength,
+                        jax.random.fold_in(k_gdrop, 2 * pi + ki), False,
                     )
                     preds[f"dis_{domain}_{kind}"] = pred
             losses = self._generator_losses(outs, preds, batch)
@@ -459,25 +463,29 @@ class TwinGANTrainer(BaseGanTrainer):
         def loss_fn(dis_side_params):
             losses: Dict[str, jax.Array] = {}
             new_dis_state = {}
-            for domain, dis_name, real, k_gp in (
+            # Independent gdrop noise per discriminator pass (real / prime /
+            # cycle / gradient-penalty), matching the reference's fresh
+            # tf.random_normal per discriminator graph copy.
+            for base, (domain, dis_name, real, k_gp) in enumerate((
                 ("s", DIS_S, sources, k_gp_s),
                 ("t", DIS_T, targets, k_gp_t),
-            ):
+            )):
+                fold = lambda i, b=base: jax.random.fold_in(k_gdrop, 4 * b + i)
                 real_pred, st = self._dis_apply(
                     dis_name, dis_side_params, state.model_state, real, alpha,
-                    state.gdrop_strength, k_gdrop, True,
+                    state.gdrop_strength, fold(0), True,
                 )
                 new_dis_state[dis_name] = st
                 prime_pred, _ = self._dis_apply(
                     dis_name, dis_side_params, state.model_state,
-                    fakes[f"{domain}_prime"], alpha, state.gdrop_strength, k_gdrop, False,
+                    fakes[f"{domain}_prime"], alpha, state.gdrop_strength, fold(1), False,
                 )
                 for name, val in discriminator_gan_loss(cfg.loss, prime_pred, real_pred).items():
                     losses[f"{name}_prime_{domain}"] = val
                 if cfg.model.resolution >= 64 and cfg.do_l_cyc_gan:
                     cycle_pred, _ = self._dis_apply(
                         dis_name, dis_side_params, state.model_state,
-                        fakes[f"{domain}_cycle"], alpha, state.gdrop_strength, k_gdrop, False,
+                        fakes[f"{domain}_cycle"], alpha, state.gdrop_strength, fold(2), False,
                     )
                     # only_real_fake_loss=True for the cycle term.
                     cyc = discriminator_gan_loss(cfg.loss, cycle_pred, real_pred)
@@ -485,10 +493,10 @@ class TwinGANTrainer(BaseGanTrainer):
                         if name in cyc:
                             losses[f"{name}_cycle_{domain}"] = cyc[name]
 
-                def dis_fn(images, dis_name=dis_name):
+                def dis_fn(images, dis_name=dis_name, k=fold(3)):
                     pred, _ = self._dis_apply(
                         dis_name, dis_side_params, state.model_state, images, alpha,
-                        state.gdrop_strength, k_gdrop, False,
+                        state.gdrop_strength, k, False,
                     )
                     return pred
 
