@@ -301,3 +301,83 @@ class TestPolyakAveraging:
         trainer = GanTrainer(small_cfg())
         state = trainer.init_state(jax.random.PRNGKey(0))
         assert state.gen_ema_params is None
+
+
+class TestConditionalLabels:
+    """Conditional-label GAN end-to-end (VERDICT round 1 item 4; reference
+    image_generation.py:1026-1049 + nets/pggan.py:318-323)."""
+
+    def _cfg(self, **kw):
+        defaults = dict(
+            model=PGGANConfig(resolution=8, max_channels=16, norm_type="batch_norm"),
+            use_conditional_labels=True,
+            num_classes=5,
+            conditional_embed_dim=8,
+        )
+        defaults.update(kw)
+        return small_cfg(**defaults)
+
+    def _batch(self, seed=0, n=4, res=8):
+        rng = np.random.RandomState(seed)
+        hot = np.zeros((n, 5), np.float32)
+        hot[np.arange(n), rng.randint(0, 5, n)] = 1.0
+        b = synthetic_batch(seed, n, res)
+        b["conditional_labels"] = jnp.asarray(hot)
+        return b
+
+    def test_style_dim_autowired(self):
+        trainer = GanTrainer(self._cfg())
+        assert trainer.cfg.model.style_dim == 5
+        assert trainer.cond_lookup.shape == (5, 8)
+
+    def test_round_trains_with_labels(self):
+        trainer = GanTrainer(self._cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batches = [self._batch(i) for i in range(trainer.cfg.n_critic)]
+        state, m = trainer.round_step(state, batches, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["generator_loss"]))
+        assert np.isfinite(float(m["discriminator_loss"]))
+        # Conditional-norm FC params exist and received gradients.
+        gen = state.params["generator"]
+        fc_keys = [k for k in gen["block_8_conv0"]["norm"] if "fc" in k]
+        assert fc_keys, gen["block_8_conv0"]["norm"].keys()
+
+    def test_outputs_depend_on_label(self):
+        from twingan_tpu.models.pggan import noise_shape
+
+        trainer = GanTrainer(self._cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        z = jnp.asarray(
+            np.random.RandomState(7).standard_normal(
+                noise_shape(trainer.cfg.model, 2)
+            ).astype(np.float32)
+        )
+        a = np.asarray(trainer.sample(state, z, labels=jnp.eye(5)[:2]))
+        b = np.asarray(trainer.sample(state, z, labels=jnp.eye(5)[2:4]))
+        same = np.asarray(trainer.sample(state, z, labels=jnp.eye(5)[:2]))
+        assert not np.allclose(a, b), "same noise, different labels must differ"
+        np.testing.assert_array_equal(a, same)
+
+    def test_missing_num_classes_raises(self):
+        with pytest.raises(ValueError):
+            GanTrainer(self._cfg(num_classes=0))
+
+    def test_stage_runner_conditional_smoke(self, tmp_path):
+        """A conditional run through the production runner on synthetic data
+        (the anime_faces 51-class configuration at toy scale)."""
+        from twingan_tpu.runner.stage_runner import RunConfig, StageRunner
+
+        cfg = RunConfig(
+            program="image_generation",
+            train_dir=str(tmp_path / "cond"),
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=8,
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            trainer=self._cfg(model=PGGANConfig(resolution=4, max_channels=16)),
+            log_every_n_steps=1,
+            log_image_every_n_iter=0,
+            num_devices=1,
+        )
+        summary = StageRunner(cfg).run()
+        assert summary["4"]["steps"] == 2

@@ -28,17 +28,25 @@ class SyntheticSource:
     for throughput benchmarking and tests without datasets on disk."""
 
     def __init__(self, batch_size: int, hw: int, channels: int = 3, seed: int = 0,
-                 keys: Sequence[str] = ("source", "target")):
+                 keys: Sequence[str] = ("source", "target"), num_classes: int = 0):
         self.batch_size, self.hw, self.channels = batch_size, hw, channels
         self.keys = tuple(keys)
+        self.num_classes = num_classes
         self._rng = np.random.RandomState(seed)
+
+    def _item(self, key: str) -> np.ndarray:
+        if key == "conditional_labels":
+            ids = self._rng.randint(0, max(self.num_classes, 1), self.batch_size)
+            hot = np.zeros((self.batch_size, max(self.num_classes, 1)), np.float32)
+            hot[np.arange(self.batch_size), ids] = 1.0
+            return hot
+        return self._rng.rand(
+            self.batch_size, self.hw, self.hw, self.channels
+        ).astype(np.float32)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            yield {
-                k: self._rng.rand(self.batch_size, self.hw, self.hw, self.channels).astype(np.float32)
-                for k in self.keys
-            }
+            yield {k: self._item(k) for k in self.keys}
 
 
 class TFRecordSource:

@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gdrop_coef", type=float, default=0.2)
     p.add_argument("--gdrop_lim", type=float, default=0.5)
     p.add_argument("--gdrop_exp", type=float, default=2.0)
+    # Conditional generation from dataset labels (reference
+    # use_conditional_labels; anime_faces has 51 classes).
+    p.add_argument("--use_conditional_labels", type=_bool, default=False)
+    p.add_argument("--num_classes", type=int, default=0,
+                   help="label vocabulary size (0 = take it from the dataset)")
+    p.add_argument("--conditional_embed_dim", type=int, default=32)
     # Optimizer flags (reference model_inheritor.py).
     p.add_argument("--optimizer", default="adam")
     p.add_argument("--learning_rate", type=float, default=0.0001)
@@ -161,7 +167,17 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             target_embed_dim=args.target_embed_dim,
         )
     else:
-        trainer = GanTrainerConfig(**common)
+        num_classes = args.num_classes
+        if args.use_conditional_labels and not num_classes:
+            from twingan_tpu.data.datasets import get_dataset
+
+            num_classes = get_dataset(args.dataset_name).num_classes
+        trainer = GanTrainerConfig(
+            **common,
+            use_conditional_labels=args.use_conditional_labels,
+            num_classes=num_classes or 0,
+            conditional_embed_dim=args.conditional_embed_dim,
+        )
     return RunConfig(
         program=args.program_name,
         train_dir=args.train_dir,

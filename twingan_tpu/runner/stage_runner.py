@@ -203,7 +203,12 @@ class StageRunner:
         needs_pair = cfg.program == "twingan"
         if cfg.use_synthetic_data or not cfg.dataset_dir:
             keys = ("source", "target") if needs_pair else ("target",)
-            src = SyntheticSource(batch, self._preprocess_cfg(res).host_hw, seed=cfg.seed, keys=keys)
+            num_classes = 0
+            if getattr(cfg.trainer, "use_conditional_labels", False):
+                keys = keys + ("conditional_labels",)
+                num_classes = cfg.trainer.num_classes
+            src = SyntheticSource(batch, self._preprocess_cfg(res).host_hw,
+                                  seed=cfg.seed, keys=keys, num_classes=num_classes)
             return iter(src), lambda: None
         pp = self._preprocess_cfg(res)
         a = TFRecordSource(

@@ -68,6 +68,15 @@ class GanTrainerConfig:
     cyclegan_num_channels: int = 64
     # Polyak averaging of generator params for eval (0 disables).
     moving_average_decay: float = 0.0
+    # Conditional generation from dataset labels (reference
+    # use_conditional_labels, image_generation.py:1043-1049): the multi-hot
+    # 'conditional_labels' batch item drives G's conditional norms (beta/
+    # gamma from FCs of the label vector, libs/batch_norm.py:129-174) and is
+    # embedded through a fixed random lookup -> concatenated into D's 4x4
+    # block (nets/pggan.py:318-323). num_classes: e.g. 51 for anime_faces.
+    use_conditional_labels: bool = False
+    num_classes: int = 0
+    conditional_embed_dim: int = 32
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -77,6 +86,26 @@ class GanTrainer(BaseGanTrainer):
     """Builds models/optimizers for one stage and exposes jitted steps."""
 
     def __init__(self, cfg: GanTrainerConfig):
+        if cfg.use_conditional_labels:
+            if cfg.generator_network != "pggan":
+                raise ValueError("conditional labels require the pggan network")
+            if cfg.num_classes <= 0:
+                raise ValueError("use_conditional_labels requires num_classes > 0")
+            if cfg.model.style_dim != cfg.num_classes:
+                # Conditional norms consume the label vector directly
+                # (reference feeds conditional_labels to the norm FCs,
+                # image_generation.py:1046).
+                cfg = cfg.replace(model=cfg.model.replace(style_dim=cfg.num_classes))
+            # Fixed random embedding lookup for D, non-trainable like the
+            # reference's one_hot_embedding_lookup_matrix
+            # (model_inheritor.py:706-714); deterministic in the config so
+            # restarts regenerate the same matrix without checkpointing it.
+            self.cond_lookup = jax.random.uniform(
+                jax.random.PRNGKey(cfg.num_classes * 1000003 + cfg.conditional_embed_dim),
+                (cfg.num_classes, cfg.conditional_embed_dim), jnp.float32,
+            )
+        else:
+            self.cond_lookup = None
         self.cfg = cfg
         self.is_pggan = cfg.generator_network == "pggan"
         if self.is_pggan:
@@ -112,9 +141,17 @@ class GanTrainer(BaseGanTrainer):
         )
         if self.is_pggan:
             z = jnp.zeros(noise_shape(cfg.model, cfg.batch_size), jnp.float32)
-            gen_params, gen_state = init_model(self.gen, kg, z, alpha=0.0)
+            gen_kwargs, dis_kwargs = {}, {}
+            if cfg.use_conditional_labels:
+                gen_kwargs["style"] = jnp.zeros(
+                    (cfg.batch_size, cfg.num_classes), jnp.float32
+                )
+                dis_kwargs["cond_embed"] = jnp.zeros(
+                    (cfg.batch_size, cfg.conditional_embed_dim), jnp.float32
+                )
+            gen_params, gen_state = init_model(self.gen, kg, z, alpha=0.0, **gen_kwargs)
             dis_params, dis_state = init_model(
-                self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}
+                self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}, **dis_kwargs
             )
         else:
             gen_params, gen_state = init_model(self.gen, kg, img)
@@ -141,25 +178,45 @@ class GanTrainer(BaseGanTrainer):
     # ------------------------------------------------------------------ #
     # Generic model application (pggan vs cyclegan call signatures)
     # ------------------------------------------------------------------ #
-    def _apply_gen(self, params, model_state, gen_input, alpha, clip, train, update):
+    def _apply_gen(self, params, model_state, gen_input, alpha, clip, train, update,
+                   style=None):
         if self.is_pggan:
             return apply_model(
                 self.gen, params, model_state, gen_input,
                 alpha=alpha, train=train, update_state=update, renorm_clip=clip,
+                style=style,
             )
         return apply_model(self.gen, params, model_state, gen_input,
                            train=train, update_state=update)
 
     def _apply_dis(self, params, model_state, images, alpha, gdrop_strength,
-                   k_gdrop, train, update):
+                   k_gdrop, train, update, cond_embed=None):
         if self.is_pggan:
             return apply_model(
                 self.dis, params, model_state, images,
                 alpha=alpha, gdrop_strength=gdrop_strength, train=train,
                 update_state=update, rngs={"gdrop": k_gdrop},
+                cond_embed=cond_embed,
             )
         return apply_model(self.dis, params, model_state, images,
                            train=train, update_state=update)
+
+    def _cond(self, batch):
+        """(label vector for G's conditional norms, embedding for D's 4x4
+        concat) — or (None, None) when conditioning is off/absent."""
+        if not self.cfg.use_conditional_labels:
+            return None, None
+        labels = batch.get("conditional_labels")
+        if labels is None:
+            return None, None
+        labels = jnp.asarray(labels)
+        if labels.ndim == 1:
+            # Integer class ids -> safe one-hot (reference util_misc.py:89).
+            from twingan_tpu.utils.misc import safe_one_hot_encoding
+
+            labels = safe_one_hot_encoding(labels, self.cfg.num_classes)
+        labels = labels.astype(jnp.float32)
+        return labels, labels @ self.cond_lookup
 
     def _gen_input(self, batch, key, batch_size):
         """The generator input: the dataset 'source' item when present
@@ -180,14 +237,16 @@ class GanTrainer(BaseGanTrainer):
         k_noise, k_gdrop = jax.random.split(jax.random.fold_in(rng, state.critic_step))
         real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
         z = self._gen_input(batch, k_noise, real.shape[0])
+        cond_labels, cond_embed = self._cond(batch)
 
         def loss_fn(gen_params):
             (fake, _), new_gen_state = self._apply_gen(
-                gen_params, state.model_state[GEN], z, alpha, clip, True, True
+                gen_params, state.model_state[GEN], z, alpha, clip, True, True,
+                style=cond_labels,
             )
             (fake_pred, _), _ = self._apply_dis(
                 state.params[DIS], state.model_state[DIS], fake, alpha,
-                state.gdrop_strength, k_gdrop, True, False,
+                state.gdrop_strength, k_gdrop, True, False, cond_embed=cond_embed,
             )
             loss = generator_gan_loss(cfg.loss, fake_pred)
             if cfg.generator_network == "cyclegan":
@@ -235,11 +294,13 @@ class GanTrainer(BaseGanTrainer):
         k_noise, k_gdrop, k_gp = jax.random.split(key, 3)
         real = self.growing_image(batch["target"].astype(jnp.float32), alpha)
         z = self._gen_input(batch, k_noise, real.shape[0])
+        cond_labels, cond_embed = self._cond(batch)
 
         # Generator forward without updates (reference: G update ops are
         # filtered out of D steps).
         (fake, _), _ = self._apply_gen(
-            state.params[GEN], state.model_state[GEN], z, alpha, clip, True, False
+            state.params[GEN], state.model_state[GEN], z, alpha, clip, True, False,
+            style=cond_labels,
         )
         fake = jax.lax.stop_gradient(fake)
 
@@ -250,10 +311,12 @@ class GanTrainer(BaseGanTrainer):
             (fake_pred, _), new_dis_state = self._apply_dis(
                 dis_params, state.model_state[DIS], fake, alpha,
                 state.gdrop_strength, jax.random.fold_in(k_gdrop, 0), True, True,
+                cond_embed=cond_embed,
             )
             (real_pred, _), _ = self._apply_dis(
                 dis_params, state.model_state[DIS], real, alpha,
                 state.gdrop_strength, jax.random.fold_in(k_gdrop, 1), True, False,
+                cond_embed=cond_embed,
             )
             losses = discriminator_gan_loss(cfg.loss, fake_pred, real_pred)
 
@@ -261,6 +324,7 @@ class GanTrainer(BaseGanTrainer):
                 (pred, _), _ = self._apply_dis(
                     dis_params, state.model_state[DIS], images, alpha,
                     state.gdrop_strength, jax.random.fold_in(k_gdrop, 2), True, False,
+                    cond_embed=cond_embed,
                 )
                 return pred
 
@@ -294,15 +358,22 @@ class GanTrainer(BaseGanTrainer):
     # Sampling
     # ------------------------------------------------------------------ #
     @functools.partial(jax.jit, static_argnums=0)
-    def sample(self, state: GanTrainState, z: jax.Array) -> jax.Array:
+    def sample(self, state: GanTrainState, z: jax.Array,
+               labels: Optional[jax.Array] = None) -> jax.Array:
         """Inference-mode generation (moving statistics). ``z`` is noise for
         unconditional pggan, or the conditioning source otherwise
-        (the reference's custom_input_ph path)."""
+        (the reference's custom_input_ph path). ``labels`` is the multi-hot
+        conditioning vector for conditional models (zeros if omitted)."""
         alpha = self._alpha(state.step)
         gen_params = (
             state.gen_ema_params if state.gen_ema_params is not None else state.params[GEN]
         )
+        style = None
+        if self.cfg.use_conditional_labels:
+            style = (jnp.zeros((z.shape[0], self.cfg.num_classes), jnp.float32)
+                     if labels is None else jnp.asarray(labels, jnp.float32))
         (img, _), _ = self._apply_gen(
-            gen_params, state.model_state[GEN], z, alpha, None, False, False
+            gen_params, state.model_state[GEN], z, alpha, None, False, False,
+            style=style,
         )
         return img
