@@ -147,28 +147,55 @@ def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _brightness(key, x):
-    delta = jax.random.uniform(key, (x.shape[0], 1, 1, 1), minval=-32.0 / 255.0, maxval=32.0 / 255.0)
+# Deterministic color adjusters, semantics matched to the tf.image ops the
+# reference's danbooru/inception preprocessing uses (cross-goldened against
+# TF in tests/test_tf_parity.py). The _-prefixed wrappers sample the random
+# factor per batch element like tf.image.random_* per example.
+
+
+def adjust_brightness(x: jax.Array, delta) -> jax.Array:
+    """tf.image.adjust_brightness: x + delta."""
     return x + delta
 
 
-def _saturation(key, x):
-    f = jax.random.uniform(key, (x.shape[0], 1, 1, 1), minval=0.5, maxval=1.5)
-    gray = jnp.mean(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
-    return gray + f * (x - gray)
+def adjust_saturation(x: jax.Array, factor) -> jax.Array:
+    """tf.image.adjust_saturation: scale S in HSV space."""
+    hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
+    return _hsv_to_rgb(hsv)
 
 
-def _hue(key, x):
-    delta = jax.random.uniform(key, (x.shape[0], 1, 1), minval=-0.2, maxval=0.2)
+def adjust_hue(x: jax.Array, delta) -> jax.Array:
+    """tf.image.adjust_hue: rotate H in HSV space (mod 1)."""
     hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
     hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
     return _hsv_to_rgb(hsv)
 
 
+def adjust_contrast(x: jax.Array, factor) -> jax.Array:
+    """tf.image.adjust_contrast: (x - mean_hw_per_channel) * factor + mean."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    return mean + factor * (x - mean)
+
+
+def _brightness(key, x):
+    delta = jax.random.uniform(key, (x.shape[0], 1, 1, 1), minval=-32.0 / 255.0, maxval=32.0 / 255.0)
+    return adjust_brightness(x, delta)
+
+
+def _saturation(key, x):
+    f = jax.random.uniform(key, (x.shape[0], 1, 1), minval=0.5, maxval=1.5)
+    return adjust_saturation(x, f)
+
+
+def _hue(key, x):
+    delta = jax.random.uniform(key, (x.shape[0], 1, 1), minval=-0.2, maxval=0.2)
+    return adjust_hue(x, delta)
+
+
 def _contrast(key, x):
     f = jax.random.uniform(key, (x.shape[0], 1, 1, 1), minval=0.5, maxval=1.5)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    return mean + f * (x - mean)
+    return adjust_contrast(x, f)
 
 
 def distort_color(key: jax.Array, x: jax.Array, ordering: jax.Array, fast_mode: bool = True) -> jax.Array:
