@@ -11,8 +11,13 @@ framework (SURVEY.md section 5.7). Two paths:
   MXU; fine up to N = 64^2 = 4096 (the default self_attention_hw).
 - ``flash_attention_core``: a blockwise Pallas kernel (flash-attention style,
   no N^2 materialization in HBM) for the 512px stretch config where N can be
-  16k+. Forward in Pallas; backward recomputes with the einsum path (exact
-  same math, cheap relative to the conv stack).
+  16k+. Both directions are blockwise: the forward keeps an online-softmax
+  state in VMEM scratch and additionally emits the per-row logsumexp; the
+  backward recomputes p = exp(s - lse) one (q-block, k-block) tile at a time
+  in two kernels (dF over sequential k-blocks; dG/dH over sequential
+  q-blocks), so training at N = 65536 never materializes the N^2 matrix
+  either. Gradients are exact (tested against the einsum VJP), and the
+  einsum path remains the small-N fallback.
 """
 
 from __future__ import annotations
@@ -41,11 +46,17 @@ def attention_core(f: jax.Array, g: jax.Array, h: jax.Array) -> jax.Array:
     return o.astype(h.dtype)
 
 
-def _flash_kernel(f_ref, g_ref, h_ref, o_ref, m_scr, l_scr, acc_scr):
+def _interpret() -> bool:
+    # Pallas compiles only on TPU; interpret mode keeps CPU tests exact.
+    return jax.default_backend() != "tpu"
+
+
+def _flash_kernel(f_ref, g_ref, h_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
     """One (batch, q-block, k-block) program. Pallas iterates the LAST grid
     dimension sequentially, so the online-softmax state (m, l, acc) carries
     across k-blocks in VMEM scratch; only one key block is resident at a
-    time (bounded VMEM at any N)."""
+    time (bounded VMEM at any N). Emits the per-row logsumexp for the
+    blockwise backward."""
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -72,31 +83,135 @@ def _flash_kernel(f_ref, g_ref, h_ref, o_ref, m_scr, l_scr, acc_scr):
     @pl.when(ki == num_k - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, 0] + jnp.log(l_scr[:, 0])
 
 
 def _flash_forward(f, g, h, block_q: int, block_k: int):
+    """Returns (o, lse); lse is the fp32 per-row logsumexp [B, N]."""
     b, n, c_bar = f.shape
     c = h.shape[-1]
     grid = (b, n // block_q, n // block_k)
-    # Pallas compiles only on TPU; interpret mode keeps CPU tests exact.
-    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         _flash_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, c), h.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), h.dtype),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, c_bar), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, block_k, c_bar), lambda bi, qi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max m
             pltpu.VMEM((block_q, 1), jnp.float32),  # running denom l
             pltpu.VMEM((block_q, c), jnp.float32),  # weighted-value acc
         ],
-        interpret=interpret,
+        interpret=_interpret(),
     )(f, g, h)
+
+
+def _flash_dq_kernel(f_ref, g_ref, h_ref, do_ref, lse_ref, delta_ref,
+                     df_ref, df_scr):
+    """dF over sequential k-blocks: df[i] += sum_j ds[i,j] g[j], with
+    ds = p * (do h^T - delta) and p = exp(f g^T - lse) recomputed per tile."""
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        df_scr[:] = jnp.zeros_like(df_scr)
+
+    f = f_ref[0].astype(jnp.float32)
+    g_blk = g_ref[0].astype(jnp.float32)
+    h_blk = h_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse_ref[0][:, None])
+    dp = jnp.dot(do, h_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None])
+    df_scr[:] += jnp.dot(ds, g_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        df_ref[0] = df_scr[:].astype(df_ref.dtype)
+
+
+def _flash_dkv_kernel(f_ref, g_ref, h_ref, do_ref, lse_ref, delta_ref,
+                      dg_ref, dh_ref, dg_scr, dh_scr):
+    """dG/dH over sequential q-blocks: dg[j] += sum_i ds[i,j] f[i],
+    dh[j] += sum_i p[i,j] do[i]."""
+    qi = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dg_scr[:] = jnp.zeros_like(dg_scr)
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    f = f_ref[0].astype(jnp.float32)
+    g_blk = g_ref[0].astype(jnp.float32)
+    h_blk = h_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    dp = jnp.dot(do, h_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None])
+    dg_scr[:] += jnp.dot(ds.T, f, preferred_element_type=jnp.float32)
+    dh_scr[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q - 1)
+    def _():
+        dg_ref[0] = dg_scr[:].astype(dg_ref.dtype)
+        dh_ref[0] = dh_scr[:].astype(dh_ref.dtype)
+
+
+def _flash_backward(f, g, h, do, lse, delta, block_q: int, block_k: int):
+    b, n, c_bar = f.shape
+    c = h.shape[-1]
+    interpret = _interpret()
+    q_spec = pl.BlockSpec((1, block_q, c_bar), lambda bi, qi, ki: (bi, qi, 0))
+    k_spec = pl.BlockSpec((1, block_k, c_bar), lambda bi, qi, ki: (bi, ki, 0))
+    v_spec = pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0))
+    do_spec = pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0))
+    row_spec = pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi))
+    df = pl.pallas_call(
+        _flash_dq_kernel,
+        out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+        grid=(b, n // block_q, n // block_k),
+        in_specs=[q_spec, k_spec, v_spec, do_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((block_q, c_bar), jnp.float32)],
+        interpret=interpret,
+    )(f, g, h, do, lse, delta)
+
+    # Grid order (b, k-block, q-block): q is the sequential carry axis.
+    q_spec2 = pl.BlockSpec((1, block_q, c_bar), lambda bi, ki, qi: (bi, qi, 0))
+    k_spec2 = pl.BlockSpec((1, block_k, c_bar), lambda bi, ki, qi: (bi, ki, 0))
+    v_spec2 = pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0))
+    do_spec2 = pl.BlockSpec((1, block_q, c), lambda bi, ki, qi: (bi, qi, 0))
+    row_spec2 = pl.BlockSpec((1, block_q), lambda bi, ki, qi: (bi, qi))
+    dg, dh = pl.pallas_call(
+        _flash_dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(g.shape, g.dtype),
+            jax.ShapeDtypeStruct(h.shape, h.dtype),
+        ),
+        grid=(b, n // block_k, n // block_q),
+        in_specs=[q_spec2, k_spec2, v_spec2, do_spec2, row_spec2, row_spec2],
+        out_specs=(k_spec2, v_spec2),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, c_bar), jnp.float32),
+            pltpu.VMEM((block_k, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f, g, h, do, lse, delta)
+    return df, dg, dh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -104,20 +219,25 @@ def flash_attention_core(
     f: jax.Array, g: jax.Array, h: jax.Array, block_q: int = 256, block_k: int = 512
 ) -> jax.Array:
     """Blockwise (flash) attention; exact same math as ``attention_core``."""
-    return _flash_forward(f, g, h, block_q, block_k)
+    return _flash_forward(f, g, h, block_q, block_k)[0]
 
 
 def _flash_fwd(f, g, h, block_q, block_k):
-    return _flash_forward(f, g, h, block_q, block_k), (f, g, h)
+    o, lse = _flash_forward(f, g, h, block_q, block_k)
+    return o, (f, g, h, o, lse)
 
 
 def _flash_bwd(block_q, block_k, res, do):
-    # Recompute-based exact backward via the einsum formulation. The attention
-    # op is a tiny fraction of total train FLOPs (one layer, C/8 head dim), so
-    # recompute keeps HBM traffic minimal without a handwritten bwd kernel.
-    f, g, h = res
-    _, vjp = jax.vjp(attention_core, f, g, h)
-    return vjp(do)
+    # Blockwise backward (flash-attention style): recompute p = exp(s - lse)
+    # per tile; delta[i] = do[i].o[i] folds the softmax Jacobian's rank-1
+    # term. O(N) memory — the einsum VJP's N^2 buffer (17 GB at N=65536)
+    # never exists.
+    f, g, h, o, lse = res
+    delta = jnp.einsum(
+        "bic,bic->bi", do.astype(jnp.float32), o.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return _flash_backward(f, g, h, do, lse, delta, block_q, block_k)
 
 
 flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
