@@ -162,6 +162,47 @@ class TestEvalMetrics:
         conf, _ = inception_score(confident, batches, splits=2)
         assert conf > 5.0
 
+    def test_frechet_distance_identity_and_shift(self):
+        from twingan_tpu.evals.metrics import frechet_distance
+
+        rng = np.random.RandomState(0)
+        mu = rng.rand(8)
+        sigma = np.eye(8) * 0.5
+        assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+        # Pure mean shift: distance = |dmu|^2.
+        d = frechet_distance(mu, sigma, mu + 2.0, sigma)
+        assert d == pytest.approx(4.0 * 8, rel=1e-5)
+
+    def test_fid_separates_distributions(self):
+        """FID(real, real') << FID(real, shifted) with any feature fn —
+        here a fixed random linear feature map for speed."""
+        from twingan_tpu.evals.metrics import fid
+
+        rng = np.random.RandomState(1)
+        w = rng.randn(48, 16).astype(np.float32)
+        feats = lambda x: jnp.asarray(x.reshape(x.shape[0], -1) @ w)
+        real_a = [rng.rand(64, 4, 4, 3).astype(np.float32) for _ in range(2)]
+        real_b = [rng.rand(64, 4, 4, 3).astype(np.float32) for _ in range(2)]
+        shifted = [b * 0.3 + 0.6 for b in real_b]
+        close = fid(feats, real_a, real_b)
+        far = fid(feats, real_a, shifted)
+        assert far > 5 * close, (close, far)
+
+    def test_inception_fid_smoke(self):
+        """The InceptionV3 pooled-feature path runs end to end and separates
+        identical from disjoint image sets."""
+        from twingan_tpu.evals.metrics import fid, inception_pool_features_fn
+
+        feats = inception_pool_features_fn(image_hw=64, seed=0)
+        rng = np.random.RandomState(2)
+        a = [rng.rand(8, 64, 64, 3).astype(np.float32)]
+        b = [rng.rand(8, 64, 64, 3).astype(np.float32)]
+        shifted = [b[0] * 0.3 + 0.6]  # a genuinely different distribution
+        close = fid(feats, a, b)
+        far = fid(feats, a, shifted)
+        assert np.isfinite(close) and np.isfinite(far)
+        assert far > 3 * close, (close, far)
+
     def test_streaming_loss_eval(self):
         from twingan_tpu.evals.metrics import streaming_loss_eval
 

@@ -1,0 +1,225 @@
+"""Convergence run with quality curves (VERDICT round 1 item 3).
+
+Trains progressive TwinGAN on the two-domain demo set (filled discs ->
+ring outlines; geometry must change, not just palette) and evaluates every
+saved checkpoint of every stage with:
+
+- MS-SSIM / L1 against the PAIRED ground-truth target (the generator never
+  sees pairs — the domains are constructed from shared geometry, so a true
+  target exists for held-out sources),
+- FID (random-feature InceptionV3, relative metric) translated-vs-target,
+- SWD x1e3 at the stage resolution (>= 16px, reference protocol).
+
+Writes <out>/quality_curves.md (metric-vs-step table), quality_curves.json,
+and a final gallery PNG. This makes the BASELINE '>=10x steps/sec at equal
+MS-SSIM/FID' claim falsifiable: the curves + wall-clock are published in
+docs/PERFORMANCE.md.
+
+    python tools/quality_curves.py --work /tmp/qc --images 24000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def eval_checkpoint(trainer, state, sources, targets_true, targets_pool, feats):
+    import jax.numpy as jnp
+    import jax
+
+    from twingan_tpu.evals.metrics import fid, pairwise_msssim, swd_eval
+
+    out = np.asarray(
+        trainer.translate(state, jnp.asarray(sources), "s2t").astype(jnp.float32)
+    )
+    res = out.shape[1]
+    m = {
+        "l1_vs_truth": float(np.mean(np.abs(out - targets_true))),
+        "msssim_vs_truth": (
+            pairwise_msssim(out, targets_true) if res >= 176 else float("nan")
+        ),
+        "fid": fid(feats, [targets_pool], [out]),
+    }
+    if res >= 16:
+        table = swd_eval(
+            jax.random.PRNGKey(0), [targets_pool[: len(out)]], [out],
+            num_images=len(out),
+        )
+        if table:
+            m["swd_avg_x1e3"] = float(np.mean([v[1] for v in table.values()]))
+    # MS-SSIM needs >=176px for the 5-level protocol; use SSIM-equivalent
+    # single-scale at small res via levels param.
+    if res < 176:
+        from twingan_tpu import ops
+
+        levels = 1
+        r = res
+        while r >= 32 and levels < 5:
+            r //= 2
+            levels += 1
+        m["msssim_vs_truth"] = float(
+            ops.msssim(jnp.asarray(out), jnp.asarray(targets_true),
+                       max_val=1.0, levels=levels)
+        )
+    return m
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--work", default="/tmp/quality_curves")
+    p.add_argument("--start_hw", type=int, default=4)
+    p.add_argument("--max_hw", type=int, default=64)
+    p.add_argument("--images", type=int, default=24000,
+                   help="images per growth stage")
+    p.add_argument("--n", type=int, default=600, help="dataset size per domain")
+    p.add_argument("--eval_n", type=int, default=128, help="held-out eval pairs")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--save_every", type=int, default=750)
+    p.add_argument("--rounds_per_scan", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    t_wall = time.time()
+    dom = os.path.join(args.work, "domains")
+    if not os.path.exists(os.path.join(dom, "rec_a")):
+        import make_demo_domains
+
+        # Train set + held-out eval tail (same generator, disjoint indices).
+        make_demo_domains.main([
+            "--out", dom, "--n", str(args.n + args.eval_n),
+            "--hw", str(args.max_hw), "--seed", str(args.seed),
+        ])
+
+    from PIL import Image
+
+    def load(dom_name, lo, hi, hw):
+        imgs = []
+        for i in range(lo, hi):
+            im = Image.open(f"{dom}/{dom_name}/{i}.png").resize((hw, hw), Image.BILINEAR)
+            imgs.append(np.asarray(im, np.float32) / 255.0)
+        return np.stack(imgs)
+
+    import jax
+
+    from twingan_tpu.evals.metrics import inception_pool_features_fn
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.runner.checkpoint import CheckpointManager
+    from twingan_tpu.runner.stage_runner import (
+        RunConfig, StageRunner, stage_dir_name, stage_plan,
+    )
+    from twingan_tpu.train.losses import GanLossConfig
+    from twingan_tpu.train.optimizers import OptimizerConfig
+    from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+
+    # The round-1 learning-smoke recipe (docs/PERFORMANCE.md): instance norm
+    # + plain gan loss + UNet skips + strong cycle weight.
+    trainer_cfg = TwinGANConfig(
+        model=PGGANConfig(
+            resolution=args.start_hw, max_channels=128,
+            norm_type="instance_norm", equalized_lr=True, do_pixel_norm=True,
+            num_domains=2, dtype="bfloat16",
+        ),
+        loss=GanLossConfig(architecture="gan"),
+        opt=OptimizerConfig(learning_rate=2e-4),
+        batch_size=args.batch,
+        use_unet=True,
+        l_cyc_weight=5.0,
+        l_content_weight=0.1,
+    )
+    run_cfg = RunConfig(
+        program="twingan",
+        train_dir=os.path.join(args.work, "train"),
+        start_hw=args.start_hw,
+        max_hw=args.max_hw,
+        num_images_per_resolution=args.images,
+        batch_schedule={r: args.batch for r in (4, 8, 16, 32, 64, 128, 256, 512)},
+        dataset_dir=os.path.join(dom, "rec_a"),
+        target_dataset_dir=os.path.join(dom, "rec_b"),
+        trainer=trainer_cfg,
+        log_every_n_steps=200,
+        save_every_n_steps=args.save_every,
+        log_image_every_n_iter=0,
+        keep_checkpoints=100,
+        rounds_per_scan=args.rounds_per_scan,
+        num_devices=1,
+        seed=args.seed,
+    )
+    runner = StageRunner(run_cfg)
+    summary = runner.run()
+    train_wall = time.time() - t_wall
+    print("training complete:", json.dumps(summary))
+
+    # ---------------- metric-vs-step curves over every checkpoint ---------
+    feats = inception_pool_features_fn(image_hw=max(args.max_hw, 75), seed=0)
+    rows = []
+    for res, growing in stage_plan(args.start_hw, args.max_hw):
+        stage = stage_dir_name(res, growing)
+        stage_dir = os.path.join(run_cfg.train_dir, stage)
+        cm = CheckpointManager(stage_dir)
+        steps = cm.all_steps()
+        if not steps:
+            continue
+        tcfg = trainer_cfg.replace(
+            model=trainer_cfg.model.replace(resolution=res, is_growing=growing),
+            max_steps=max(1, args.images // args.batch),
+        )
+        trainer = TwinGANTrainer(tcfg)
+        sources = load("a", args.n, args.n + args.eval_n, res)
+        targets_true = load("b", args.n, args.n + args.eval_n, res)
+        targets_pool = load("b", 0, min(args.n, 256), res)
+        for step in steps:
+            state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)), step)
+            m = eval_checkpoint(trainer, state, sources, targets_true,
+                                targets_pool, feats)
+            rows.append({"stage": stage, "step": step, **m})
+            print(f"[{stage} @ {step}] " + " ".join(
+                f"{k}={v:.4f}" for k, v in m.items()))
+
+    with open(os.path.join(args.work, "quality_curves.json"), "w") as f:
+        json.dump({"rows": rows, "train_wall_sec": train_wall,
+                   "summary": summary}, f, indent=1)
+
+    md = ["| stage | step | L1 vs truth | MS-SSIM vs truth | FID (rand-feat) | SWD avg x1e3 |",
+          "|---|---|---|---|---|---|"]
+    for r in rows:
+        md.append(
+            f"| {r['stage']} | {r['step']} | {r['l1_vs_truth']:.4f} | "
+            f"{r['msssim_vs_truth']:.4f} | {r['fid']:.4f} | "
+            f"{r.get('swd_avg_x1e3', float('nan')):.2f} |")
+    md_path = os.path.join(args.work, "quality_curves.md")
+    with open(md_path, "w") as f:
+        f.write("\n".join(md) + f"\n\ntrain wall-clock: {train_wall:.0f}s\n")
+    print("written:", md_path)
+
+    # ---------------- final gallery: input / translated / ground truth ----
+    import jax.numpy as jnp
+
+    from twingan_tpu.utils.image_io import save_image_grid
+
+    res = args.max_hw
+    tcfg = trainer_cfg.replace(
+        model=trainer_cfg.model.replace(resolution=res, is_growing=False))
+    trainer = TwinGANTrainer(tcfg)
+    cm = CheckpointManager(os.path.join(run_cfg.train_dir, str(res)))
+    state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)))
+    sources = load("a", args.n, args.n + 8, res)
+    truth = load("b", args.n, args.n + 8, res)
+    out = np.asarray(trainer.translate(state, jnp.asarray(sources), "s2t").astype(jnp.float32))
+    grid = np.concatenate([
+        np.concatenate(list(sources), axis=1),
+        np.concatenate(list(out), axis=1),
+        np.concatenate(list(truth), axis=1),
+    ], axis=0)
+    gallery = os.path.join(args.work, "quality_gallery.png")
+    save_image_grid(gallery, grid[None])
+    print("written:", gallery)
+
+
+if __name__ == "__main__":
+    main()

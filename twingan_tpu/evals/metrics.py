@@ -115,6 +115,93 @@ def inception_score(
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """Fréchet distance between two Gaussians:
+    |mu1-mu2|^2 + tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        # Regularize singular covariances (small sample counts).
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean, _ = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def activation_statistics(
+    features_fn: Callable[[jax.Array], jax.Array],
+    batches: Iterable[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, covariance) of feature activations over batches of images."""
+    feats = []
+    for batch in batches:
+        f = np.asarray(features_fn(jnp.asarray(batch)), np.float32)
+        feats.append(f.reshape(f.shape[0], -1))
+    feats = np.concatenate(feats)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def fid(
+    features_fn: Callable[[jax.Array], jax.Array],
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+) -> float:
+    """Fréchet Inception Distance over ``features_fn`` activations.
+
+    Extends the reference's inception-score protocol
+    (image_generation.py:818-861) with the FID the BASELINE quality gate
+    asks for ('≥10x train steps/sec at equal MS-SSIM/FID').
+    """
+    mu_r, sig_r = activation_statistics(features_fn, real_batches)
+    mu_f, sig_f = activation_statistics(features_fn, fake_batches)
+    return frechet_distance(mu_r, sig_r, mu_f, sig_f)
+
+
+def inception_pool_features_fn(
+    image_hw: int = 64, seed: int = 0, endpoint: str = "Mixed_5b"
+) -> Callable[[jax.Array], jax.Array]:
+    """Jitted images-[0,1] -> InceptionV3 pooled-feature extractor.
+
+    No pretrained weights are fetchable in this offline environment, so the
+    network is deterministically randomly initialized (fixed seed). FID over
+    random features is a valid *relative* convergence metric; absolute
+    values are not comparable to published FID numbers (documented in
+    docs/PERFORMANCE.md). With random init the deep endpoints collapse
+    (activation std ~4e-6 at PreLogits vs ~1e-2 at Mixed_5b), so the default
+    endpoint is the first mixed block, spatially mean-pooled to [B, 256];
+    pass endpoint='PreLogits' when real pretrained weights are imported.
+    """
+    from twingan_tpu.models.inception import InceptionV3
+
+    net = InceptionV3(num_classes=1)
+    init_hw = max(image_hw, 75)  # minimum hw that survives the stride stack
+    variables = net.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, init_hw, init_hw, 3)), train=False
+    )
+
+    @jax.jit
+    def features(images: jax.Array) -> jax.Array:
+        images = images.astype(jnp.float32)
+        if images.shape[1] != init_hw:
+            images = ops.resize_bilinear(images, init_hw, init_hw)
+        images = images * 2.0 - 1.0  # inception preprocessing range
+        _, eps_ = net.apply(variables, images, train=False)
+        feat = eps_[endpoint]
+        if feat.ndim == 4:
+            feat = jnp.mean(feat, axis=(1, 2))
+        return feat.reshape(images.shape[0], -1)
+
+    return features
+
+
 def streaming_loss_eval(
     loss_fn: Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]],
     batches: Iterable[Dict[str, np.ndarray]],

@@ -55,7 +55,7 @@ def build_batches(args, hw: int):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", required=True,
-                   choices=["loss", "swd", "msssim", "eval_debug", "output"])
+                   choices=["loss", "swd", "msssim", "fid", "eval_debug", "output"])
     p.add_argument("--model_path", required=True)
     p.add_argument("--eval_dir", default="/tmp/twingan_eval")
     p.add_argument("--dataset_name", default="image_only")
@@ -129,6 +129,24 @@ def main(argv=None) -> None:
                 break
         diversity = msssim_eval(fakes)
         print(f"translated-set MS-SSIM diversity (lower = more diverse): {diversity:.4f}")
+
+    elif args.mode == "fid":
+        from twingan_tpu.evals.metrics import fid, inception_pool_features_fn
+
+        feats = inception_pool_features_fn(image_hw=hw, seed=args.seed)
+        reals, fakes, n = [], [], 0
+        for batch in batches:
+            reals.append(np.asarray(batch["target"], np.float32))
+            fakes.append(translate(batch["source"]))
+            n += len(reals[-1])
+            if n >= args.num_images:
+                break
+        score = fid(feats, reals, fakes)
+        out = os.path.join(args.eval_dir, "fid.txt")
+        with open(out, "w") as f:
+            f.write(f"fid\t{score:.6f}\t{n} images\n")
+        print(f"FID (random-feature inception, relative metric): {score:.4f} over {n} images")
+        print("written:", out)
 
     elif args.mode == "eval_debug":
         batch = next(batches)
