@@ -180,6 +180,32 @@ class TestStageRunnerEndToEnd:
         samples = os.listdir(os.path.join(cfg.train_dir, "4", "generated_samples"))
         assert any(s.endswith(".png") for s in samples)
 
+    def test_twingan_sample_dumps_fixed_sources_and_style_roll(self, tmp_path):
+        """Grids come from the fixed first real batch in BOTH directions,
+        plus the style-interpolation mosaic (reference twingan.py:581-680) —
+        not random noise (VERDICT round 1 item 7)."""
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        cfg = self._run_cfg(
+            tmp_path,
+            program="twingan",
+            max_hw=4,
+            log_image_every_n_iter=2,
+            trainer=TwinGANConfig(
+                model=PGGANConfig(resolution=4, max_channels=16, num_domains=2,
+                                  style_dim=8),
+                batch_size=4,
+                opt=OptimizerConfig(learning_rate=1e-3),
+                use_style_embedding=True,
+                style_embed_size=8,
+            ),
+        )
+        StageRunner(cfg).run()
+        samples = os.listdir(os.path.join(cfg.train_dir, "4", "generated_samples"))
+        assert any("source_t_prime" in s for s in samples), samples
+        assert any("target_s_prime" in s for s in samples), samples
+        assert any("custom_t_style_roll" in s for s in samples), samples
+
     def test_cli_parser_builds_config(self):
         from twingan_tpu.runner.pggan_runner import build_parser, config_from_args
 

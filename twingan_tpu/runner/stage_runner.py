@@ -310,6 +310,10 @@ class StageRunner:
                 x = jax.device_put(x, self.batch_sharding)
             return x
 
+        # First augmented batch of the stage, held fixed for sample grids
+        # (reference fixed-source dumps, twingan.py:581-680).
+        fixed_batch: Dict[str, np.ndarray] = {}
+
         def next_batches():
             nonlocal aug_key
             batches = []
@@ -324,6 +328,10 @@ class StageRunner:
                     if key in raw:
                         batch[key] = put(raw[key])
                 batches.append(batch)
+            if not fixed_batch and cfg.log_image_every_n_iter:
+                fixed_batch.update(
+                    {k: np.asarray(v, np.float32) for k, v in batches[0].items()}
+                )
             return batches
 
         def scan_chunk(state, n_rounds):
@@ -417,7 +425,7 @@ class StageRunner:
                 if cur % cfg.save_every_n_steps == 0 and cur > start_step:
                     cm.save(cur, state, keep=cfg.keep_checkpoints)
                 if cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0:
-                    self._dump_samples(trainer, state, stage_dir, cur)
+                    self._dump_samples(trainer, state, stage_dir, cur, fixed_batch)
             cm.save(int(state.step), state, keep=cfg.keep_checkpoints)
         finally:
             close_data()
@@ -431,27 +439,97 @@ class StageRunner:
         }
 
     # ------------------------------------------------------------------ #
-    def _dump_samples(self, trainer, state, stage_dir: str, step: int) -> None:
-        """Periodic sample grids (reference do_extra_train_step image dumps)."""
+    def _dump_samples(
+        self, trainer, state, stage_dir: str, step: int, fixed_batch=None
+    ) -> None:
+        """Periodic sample grids from FIXED REAL sources plus style/noise
+        interpolation mosaics (reference do_extra_train_step:
+        twingan.py:581-680, image_generation.py:716-765). The same batch is
+        reused every dump so a grid sequence shows training progress."""
         try:
             out_dir = os.path.join(stage_dir, "generated_samples")
+            fixed_batch = fixed_batch or {}
+            n_show = 8
             if isinstance(trainer, TwinGANTrainer):
                 res = trainer.cfg.model.resolution
-                rng = np.random.RandomState(31415)
-                src = jnp.asarray(rng.rand(4, res, res, 3).astype(np.float32))
-                out = np.asarray(trainer.translate(state, src, "s2t").astype(jnp.float32))
+                src = fixed_batch.get("source")
+                tgt = fixed_batch.get("target")
+                if src is None:  # no data yet (shouldn't happen) — noise
+                    rng = np.random.RandomState(31415)
+                    src = rng.rand(n_show, res, res, 3).astype(np.float32)
+                    tgt = rng.rand(n_show, res, res, 3).astype(np.float32)
+                src = jnp.asarray(np.asarray(src)[:n_show], jnp.float32)
+                tgt = jnp.asarray(np.asarray(tgt)[:n_show], jnp.float32)
+                t_prime = np.asarray(trainer.translate(state, src, "s2t").astype(jnp.float32))
+                s_prime = np.asarray(trainer.translate(state, tgt, "t2s").astype(jnp.float32))
                 save_image_grid(
                     os.path.join(out_dir, f"{step}_source_t_prime.png"),
-                    stack_comparison([np.asarray(src), out]),
+                    stack_comparison([np.asarray(src), t_prime]),
                 )
+                save_image_grid(
+                    os.path.join(out_dir, f"{step}_target_s_prime.png"),
+                    stack_comparison([np.asarray(tgt), s_prime]),
+                )
+                if trainer.cfg.use_style_embedding:
+                    # Style interpolation: one fixed source, style lerped
+                    # between two fixed N(0,1) embeddings across columns
+                    # (reference get_fixed_rand_style_embed, seed 31415).
+                    rng = np.random.RandomState(31415)
+                    dim = trainer.cfg.style_embed_size
+                    a = rng.standard_normal(dim).astype(np.float32)
+                    b_ = rng.standard_normal(dim).astype(np.float32)
+                    ts = np.linspace(0.0, 1.0, n_show, dtype=np.float32)[:, None]
+                    styles = jnp.asarray(a[None] * ts + b_[None] * (1 - ts))
+                    one_src = jnp.broadcast_to(src[:1], (n_show,) + src.shape[1:])
+                    rolled = np.asarray(
+                        trainer.translate(state, one_src, "s2t", style=styles)
+                        .astype(jnp.float32)
+                    )
+                    save_image_grid(
+                        os.path.join(out_dir, f"{step}_custom_t_style_roll.png"),
+                        stack_comparison([np.asarray(one_src), rolled]),
+                    )
             elif getattr(trainer, "is_pggan", True):
                 from twingan_tpu.models.pggan import noise_shape
 
-                rng = np.random.RandomState(314)
-                z = jnp.asarray(
-                    rng.standard_normal(noise_shape(trainer.cfg.model, 8)).astype(np.float32)
-                )
-                img = np.asarray(trainer.sample(state, z).astype(jnp.float32))
-                save_image_grid(os.path.join(out_dir, f"{step}.png"), img)
+                src = fixed_batch.get("source")
+                if src is not None:
+                    # Conditional/paired generation: fixed source -> output
+                    # -> real target rows (reference 'sources' branch).
+                    src = jnp.asarray(np.asarray(src)[:n_show], jnp.float32)
+                    labels = fixed_batch.get("conditional_labels")
+                    if labels is not None:
+                        labels = jnp.asarray(np.asarray(labels)[: src.shape[0]])
+                    out = np.asarray(trainer.sample(
+                        state, src, labels=labels,
+                    ).astype(jnp.float32))
+                    rows = [np.asarray(src), out]
+                    if fixed_batch.get("target") is not None:
+                        rows.append(np.asarray(fixed_batch["target"])[:n_show])
+                    k = min(len(r) for r in rows)
+                    save_image_grid(
+                        os.path.join(out_dir, f"{step}.png"),
+                        stack_comparison([r[:k] for r in rows]),
+                    )
+                else:
+                    # Noise interpolation (reference seed 314, lerp z2 -> z1).
+                    rng = np.random.RandomState(314)
+                    shape = noise_shape(trainer.cfg.model, 1)
+                    z1 = rng.standard_normal(shape).astype(np.float32)
+                    z2 = rng.standard_normal(shape).astype(np.float32)
+                    ts = np.linspace(0.0, 1.0, n_show, dtype=np.float32).reshape(-1, 1, 1, 1)
+                    z = jnp.asarray(z1 * ts + z2 * (1 - ts))
+                    labels = fixed_batch.get("conditional_labels")
+                    if labels is not None:
+                        labels = jnp.asarray(np.asarray(labels)[:1].repeat(n_show, 0))
+                    img = np.asarray(trainer.sample(state, z, labels=labels).astype(jnp.float32))
+                    rows = [img]
+                    if fixed_batch.get("target") is not None:
+                        rows.append(np.asarray(fixed_batch["target"])[:n_show])
+                    k = min(len(r) for r in rows)
+                    save_image_grid(
+                        os.path.join(out_dir, f"{step}.png"),
+                        stack_comparison([r[:k] for r in rows]),
+                    )
         except Exception as e:  # sample dumps must never kill training
             print(f"[sample dump failed: {e}]")
