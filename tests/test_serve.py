@@ -77,6 +77,13 @@ class TestServer:
             body = r.read().decode()
         assert "TwinGAN-TPU" in body
 
+    def test_webcam_page_served(self, server):
+        """Webcam capture page parity (reference index_webcam.html)."""
+        with urllib.request.urlopen(f"{server}/index_webcam.html") as r:
+            body = r.read().decode()
+        assert "getUserMedia" in body
+        assert "output_pane_" in body  # per-face result panes like the reference
+
     def test_post_raw_image_roundtrip(self, server):
         req = urllib.request.Request(
             server, data=_png_bytes(), headers={"Content-Type": "image/png"}

@@ -83,6 +83,11 @@ class TFRecordSource:
         self._cache: dict = {} if cache else None
         self._cache_bytes = 0
         self._cache_max_bytes = cache_max_bytes
+        # Contiguous-array cache: once every sample is decoded, batches are
+        # assembled by one vectorized fancy-index per key instead of
+        # per-sample dict/stack work (this 1-core host's per-batch Python
+        # overhead was the real-data bottleneck, VERDICT round 1 item 9).
+        self._arrays: Optional[Dict[str, np.ndarray]] = None
 
     @property
     def num_samples(self) -> int:
@@ -112,8 +117,45 @@ class TFRecordSource:
             )
         return item
 
+    def _maybe_build_arrays(self) -> None:
+        """Promote a complete dict cache to contiguous per-key arrays."""
+        if (
+            self._arrays is not None
+            or self._cache is None
+            or len(self._cache) != len(self.index)
+        ):
+            return
+        samples = [self._cache[(si, ri)] for si, ri in self.index]
+        keys = set(samples[0])
+        for s in samples[1:]:
+            keys &= set(s)
+        arrays = {}
+        for k in keys:
+            vals = [s[k] for s in samples]
+            first = vals[0]
+            if getattr(first, "dtype", None) is not None and first.dtype.kind in "SU":
+                arrays[k] = np.asarray(vals)
+            elif all(np.shape(v) == np.shape(first) for v in vals):
+                arrays[k] = np.stack(vals)
+            else:
+                return  # ragged item (e.g. variable tag lists): keep dicts
+        self._arrays = arrays
+        self._cache = {}  # free the duplicate dict storage
+        self._cache_bytes = 0
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
+            self._maybe_build_arrays()
+            if self._arrays is not None:
+                n = len(self.index)
+                order = self._rng.permutation(n)
+                stop = n - self.batch_size + 1 if self.drop_remainder else n
+                for i in range(0, stop, self.batch_size):
+                    idx = order[i : i + self.batch_size]
+                    yield {k: v[idx] for k, v in self._arrays.items()}
+                if not self.repeat:
+                    return
+                continue
             order = self._rng.permutation(len(self.index))
             batch: list = []
             for idx in order:
@@ -173,11 +215,16 @@ class DevicePrefetcher:
     """Background thread that keeps `depth` batches device-resident
     (replaces slim prefetch_queue; double-buffered by default)."""
 
-    def __init__(self, source, depth: int = 2, sharding=None, keys: Optional[Sequence[str]] = None):
+    def __init__(self, source, depth: int = 2, sharding=None, keys: Optional[Sequence[str]] = None,
+                 to_device: bool = True):
         self.source = source
         self.depth = depth
         self.sharding = sharding
         self.keys = tuple(keys) if keys else None
+        # to_device=False keeps batches as host arrays (the caller stacks
+        # many batches into one transfer — fewer, larger device_puts beat
+        # many small ones through the ~50 MB/s tunnel).
+        self.to_device = to_device
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -189,7 +236,9 @@ class DevicePrefetcher:
         else:
             batch = {k: v for k, v in batch.items() if getattr(v, "dtype", None) is not None
                      and v.dtype.kind not in "SU"}
-        if self.sharding is not None:
+        if not self.to_device:
+            pass  # host arrays; the consumer stages them in bulk
+        elif self.sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self.sharding), batch
             )

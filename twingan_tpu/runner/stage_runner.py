@@ -197,8 +197,12 @@ class StageRunner:
             is_training=True,
         )
 
-    def _build_data(self, res: int, batch: int) -> tuple[Iterator, Callable]:
-        """Returns (iterator over host batches, close_fn)."""
+    def _build_data(
+        self, res: int, batch: int, to_device: bool = True
+    ) -> tuple[Iterator, Callable]:
+        """Returns (iterator over batches, close_fn). With to_device=False
+        the prefetcher yields host arrays and the caller stages them in bulk
+        (one large transfer per scan chunk)."""
         cfg = self.cfg
         needs_pair = cfg.program == "twingan"
         if cfg.use_synthetic_data or not cfg.dataset_dir:
@@ -222,14 +226,16 @@ class StageRunner:
                 list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
                 pp, batch, seed=cfg.seed + 1,
             )
-            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2, sharding=self.batch_sharding)
+            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2,
+                                  sharding=self.batch_sharding, to_device=to_device)
             return iter(pf), pf.close
         def to_target(it):
             for item in it:
                 item = dict(item)
                 item.setdefault("target", item.get("source"))
                 yield item
-        pf = DevicePrefetcher(to_target(iter(a)), depth=2, sharding=self.batch_sharding)
+        pf = DevicePrefetcher(to_target(iter(a)), depth=2,
+                              sharding=self.batch_sharding, to_device=to_device)
         return iter(pf), pf.close
 
     # ------------------------------------------------------------------ #
@@ -297,7 +303,9 @@ class StageRunner:
 
         state = self._replicate(state)
         writer = SummaryWriter(os.path.join(stage_dir, "logs"))
-        data_iter, close_data = self._build_data(res, trainer.cfg.batch_size)
+        data_iter, close_data = self._build_data(
+            res, trainer.cfg.batch_size, to_device=cfg.rounds_per_scan <= 1
+        )
         pp = self._preprocess_cfg(res)
         aug_key = jax.random.PRNGKey(cfg.seed + 13)
         rng = jax.random.PRNGKey(cfg.seed + 17)
@@ -335,20 +343,44 @@ class StageRunner:
             return batches
 
         def scan_chunk(state, n_rounds):
-            """n_rounds rounds in one on-device lax.scan dispatch."""
-            per_round = [
-                jax.tree_util.tree_map(lambda *mb: jnp.stack(mb), *next_batches())
-                for _ in range(n_rounds)
-            ]
-            stacked = jax.tree_util.tree_map(lambda *r: jnp.stack(r), *per_round)
+            """n_rounds rounds in one on-device lax.scan dispatch.
+
+            All n_rounds * n_critic host batches are stacked in numpy and
+            staged with ONE transfer + ONE augment dispatch per image key
+            (per-batch puts/augments through the tunnel dominated real-data
+            wall-clock at small resolutions)."""
+            nonlocal aug_key
+            raw = [[next(data_iter) for _ in range(n_critic)] for _ in range(n_rounds)]
+            keys = set(raw[0][0])
+            for rnd in raw:
+                for b_ in rnd:
+                    keys &= set(b_)
             if self.mesh is not None:
-                # Leaves are [n_rounds, n_critic, B, ...]: keep the batch
-                # axis sharded across the mesh through the stack.
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 spec = NamedSharding(self.mesh, PartitionSpec(None, None, "data"))
-                stacked = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, spec), stacked
+            else:
+                spec = None
+            stacked = {}
+            for k in keys:
+                arr = np.stack(
+                    [np.stack([np.asarray(raw[r][c][k]) for c in range(n_critic)])
+                     for r in range(n_rounds)]
+                )  # [R, n_critic, B, ...]
+                x = jnp.asarray(arr)
+                if spec is not None:
+                    x = jax.device_put(x, spec)
+                if k in ("source", "target"):
+                    aug_key, sub = jax.random.split(aug_key)
+                    flat = x.reshape((-1,) + x.shape[3:])
+                    flat = augment_batch(sub, flat, pp)
+                    x = flat.reshape(x.shape[:3] + flat.shape[1:])
+                    if spec is not None:
+                        x = jax.device_put(x, spec)
+                stacked[k] = x
+            if not fixed_batch and cfg.log_image_every_n_iter:
+                fixed_batch.update(
+                    {k: np.asarray(v[0, 0], np.float32) for k, v in stacked.items()}
                 )
             state, metrics = trainer.scan_rounds(state, stacked, rng)
             return state, {k: v[-1] for k, v in metrics.items()}

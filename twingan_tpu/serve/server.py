@@ -127,6 +127,9 @@ def make_handler(service: TranslationService):
             path = self.path.split("?")[0]
             if path in ("/", "/index.html"):
                 self._file(os.path.join(STATIC_DIR, "index.html"), "text/html")
+            elif path == "/index_webcam.html":
+                # Webcam capture page (reference index_webcam.html).
+                self._file(os.path.join(STATIC_DIR, "index_webcam.html"), "text/html")
             elif path.startswith("/outputs/"):
                 name = os.path.basename(path)
                 self._file(os.path.join(service.output_dir, name), "image/png")
