@@ -381,3 +381,23 @@ class TestConditionalLabels:
         )
         summary = StageRunner(cfg).run()
         assert summary["4"]["steps"] == 2
+
+
+class TestEvalMetrics:
+    def test_eval_metrics_is_non_donating(self):
+        """eval_metrics leaves the state valid and unchanged — the fix for
+        the per-batch deep-copy workaround in run_eval --mode=loss."""
+        trainer = GanTrainer(small_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        before = np.asarray(state.params["generator"]["block_8_conv0"]["conv"]["kernel"])
+        for i in range(3):
+            m = trainer.eval_metrics(state, synthetic_batch(i), jax.random.PRNGKey(i))
+            assert np.isfinite(float(m["generator_loss"]))
+        # State buffers still alive and untouched.
+        np.testing.assert_array_equal(
+            np.asarray(state.params["generator"]["block_8_conv0"]["conv"]["kernel"]),
+            before,
+        )
+        # And the state is still steppable afterwards.
+        state, m = trainer.g_step(state, synthetic_batch(9), jax.random.PRNGKey(9))
+        assert np.isfinite(float(m["generator_loss"]))

@@ -86,12 +86,8 @@ def main(argv=None) -> None:
         trainer, state = inferer.trainer, inferer.state
 
         def loss_fn(batch):
-            # One G-step on a deep copy (the step donates its input state;
-            # views of inferer.state would be invalidated after one batch).
-            state_copy = jax.tree_util.tree_map(
-                lambda x: jnp.array(x, copy=True), state
-            )
-            _, metrics = trainer.g_step(state_copy, batch, jax.random.PRNGKey(0))
+            # Non-donating eval step: metrics only, state untouched.
+            metrics = trainer.eval_metrics(state, batch, jax.random.PRNGKey(0))
             return {k: v for k, v in metrics.items() if np.ndim(v) == 0}
 
         n = max(1, args.num_images // args.batch_size)

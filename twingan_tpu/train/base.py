@@ -60,6 +60,15 @@ class BaseGanTrainer:
     def d_step(self, state, batch, rng):
         return self._d_step(state, batch, rng)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_metrics(self, state, batch, rng):
+        """Loss metrics WITHOUT donating or mutating the state — for
+        streaming eval (reference slim streaming loss means,
+        model_inheritor.py:1211-1243). The updated state is discarded; no
+        donation means the caller's state stays valid across batches."""
+        _, metrics = self._g_step(state, batch, rng)
+        return metrics
+
     def round_step(self, state, batches, rng: jax.Array):
         """One n-critic round, host-dispatched: G first, then n_critic-1 D
         updates (reference counter semantics, image_generation.py:640-651)."""
