@@ -65,3 +65,34 @@ def test_sharded_equals_single_device():
     b = jax.tree_util.tree_leaves(s8.params["generator"])
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+class TestMultiHost:
+    def test_single_process_noop(self, monkeypatch):
+        from twingan_tpu.parallel import initialize_from_env, local_batch_slice
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_from_env() is False
+        assert local_batch_slice(32) == slice(0, 32)
+
+    def test_env_parsing_requests_init(self, monkeypatch):
+        """With a coordinator configured the helper must attempt distributed
+        init (intercepted — no real cluster here)."""
+        import jax
+        from twingan_tpu.parallel import initialize_from_env
+
+        calls = {}
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: calls.update(kw),
+        )
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert initialize_from_env() is True
+        assert calls == {
+            "coordinator_address": "10.0.0.1:1234",
+            "num_processes": 4,
+            "process_id": 2,
+        }

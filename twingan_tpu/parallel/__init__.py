@@ -14,3 +14,4 @@ from twingan_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
 )
+from twingan_tpu.parallel.multihost import initialize_from_env, local_batch_slice
