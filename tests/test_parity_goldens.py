@@ -80,7 +80,7 @@ class TestChannelScheduleGoldens:
             TWINGAN_BATCH_SCHEDULE,
         )
 
-        runner = StageRunner(RunConfig(program="twingan"))
+        runner = StageRunner(RunConfig(program="twingan", num_devices=1))
         assert runner.steps_for_stage(4) == 300000 // 8
         assert runner.steps_for_stage(256) == 300000 // 3
         assert TWINGAN_BATCH_SCHEDULE == {4: 8, 8: 8, 16: 8, 32: 8, 64: 8, 128: 4, 256: 3, 512: 2}
