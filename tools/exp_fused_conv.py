@@ -70,9 +70,12 @@ def xla_padded_block(x, w, b, pad_to: int):
     return epilogue(y, b).astype(x.dtype)
 
 
+ROW_TILE = 8  # rows per program; acc = (8*W, Cout) f32 stays in VMEM
+
+
 def _fused_kernel(x_ref, w_ref, b_ref, o_ref):
-    """One batch image per program. x is pre-padded [1, H+2, W+2, Cin] bf16;
-    w is [9, Cin, Cout] f32; accumulate f32 in registers/VMEM."""
+    """One (image, row-tile) per program. x is a halo-duplicated tile
+    [1, T+2, W+2, Cin] bf16; w is [9, Cin, Cout] f32; accumulate f32."""
     h, w_dim = o_ref.shape[1], o_ref.shape[2]
     cin = x_ref.shape[3]
     cout = o_ref.shape[3]
@@ -89,31 +92,52 @@ def _fused_kernel(x_ref, w_ref, b_ref, o_ref):
 def pallas_block(x, w, b):
     bsz, h, wd, cin = x.shape
     cout = w.shape[3]
+    t = min(ROW_TILE, h)
+    n_tiles = h // t
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
+    # Halo-duplicated row tiles: [B*T_n, t+2, W+2, Cin]. BlockSpec windows
+    # cannot overlap, so the 1-row halos are materialized host-side (an
+    # HBM gather XLA fuses into the pad).
+    tiles = jnp.stack(
+        [xp[:, i * t : i * t + t + 2] for i in range(n_tiles)], axis=1
+    ).reshape(bsz * n_tiles, t + 2, wd + 2, cin)
     w9 = w.reshape(9, cin, cout).astype(jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fused_kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), x.dtype),
-        grid=(bsz,),
+        out_shape=jax.ShapeDtypeStruct((bsz * n_tiles, t, wd, cout), x.dtype),
+        grid=(bsz * n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, h + 2, wd + 2, cin), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, t + 2, wd + 2, cin), lambda bi: (bi, 0, 0, 0)),
             pl.BlockSpec((9, cin, cout), lambda bi: (0, 0, 0)),
             pl.BlockSpec((cout,), lambda bi: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, h, wd, cout), lambda bi: (bi, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, t, wd, cout), lambda bi: (bi, 0, 0, 0)),
         interpret=jax.default_backend() != "tpu",
-    )(xp, w9, b)
+    )(tiles, w9, b)
+    return out.reshape(bsz, h, wd, cout)
+
+
+SCAN_REPS = 50  # apply the block 50x inside one jit so the ~50ms tunnel
+                # dispatch latency doesn't mask sub-ms kernel differences
 
 
 def bench(fn, args, iters=8):
-    out = fn(*args)
-    float(jnp.sum(out))  # compile + flush
+    x, w, b = args
+
+    def scanned(x, w, b):
+        def body(y, _):
+            return fn(y, w, b), None
+        y, _ = lax.scan(body, x, None, length=SCAN_REPS)
+        return y
+
+    sfn = jax.jit(scanned)
+    float(jnp.sum(sfn(x, w, b)))  # compile + flush
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(jnp.sum(fn(*args)))
+        float(jnp.sum(sfn(x, w, b)))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)) / SCAN_REPS
 
 
 def main(argv=None):
