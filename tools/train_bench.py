@@ -61,6 +61,32 @@ def bench_twingan(res: int, batch: int, n_rounds: int) -> dict:
     return _run(trainer, {"source", "target"}, res, batch, n_rounds, f"twingan_{res}px")
 
 
+def bench_stretch512(batch: int, n_rounds: int, sa_hw: int = 256) -> dict:
+    """512px stretch config (docs/training.md 512 recipe): self-attention
+    moved up to sa_hw (N = sa_hw^2 spatial positions — 65536 at 256, the
+    regime where the einsum path OOMs and the Pallas flash forward+backward
+    kernels carry the train step), spectral norm everywhere, hinge loss."""
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
+    from twingan_tpu.train.losses import GanLossConfig
+    from twingan_tpu.train.optimizers import OptimizerConfig
+
+    cfg = GanTrainerConfig(
+        model=PGGANConfig(
+            resolution=512, max_channels=256, equalized_lr=True,
+            norm_type="batch_norm", dtype="bfloat16",
+            do_self_attention=True, self_attention_hw=sa_hw,
+            spectral_norm=True, spectral_norm_in_non_discriminator=True,
+        ),
+        loss=GanLossConfig(architecture="hinge"),
+        opt=OptimizerConfig(learning_rate=1e-4),
+        batch_size=batch,
+    )
+    trainer = GanTrainer(cfg)
+    return _run(trainer, {"target"}, 512, batch, n_rounds,
+                f"stretch512_sa{sa_hw}_hinge_sn")
+
+
 def _run(trainer, keys, res, batch, n_rounds, name) -> dict:
     rng = np.random.RandomState(0)
     stacked = {
@@ -92,9 +118,14 @@ def main(argv=None) -> None:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--resolutions", default="4,64")
-    p.add_argument("--program", default="both", choices=["pggan", "twingan", "both"])
+    p.add_argument("--program", default="both",
+                   choices=["pggan", "twingan", "both", "stretch512"])
     p.add_argument("--rounds", type=int, default=0, help="rounds per measurement (0 = auto)")
     args = p.parse_args(argv)
+    if args.program == "stretch512":
+        print(json.dumps(bench_stretch512(
+            TWINGAN_BATCH_SCHEDULE.get(512, 2), args.rounds or 3)))
+        return
     for res in [int(r) for r in args.resolutions.split(",")]:
         n_rounds = args.rounds or max(5, 2048 // res)
         if args.program in ("pggan", "both"):
