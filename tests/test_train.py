@@ -262,6 +262,27 @@ class TestNetworkSelection:
         out = trainer.sample(state, batch["source"])
         assert out.shape == (4, 16, 16, 3)
 
+    def test_dcgan_unconditional_training(self):
+        # BASELINE config #2 (DCGAN on SVHN-like 32px data): latent noise in,
+        # one full G+D round, then a sample from latent vectors.
+        cfg = small_cfg(
+            model=PGGANConfig(resolution=32, max_channels=16),
+            generator_network="dcgan",
+            dcgan_depth=8,
+            dcgan_latent_dim=16,
+            loss=GanLossConfig(architecture="gan"),
+        )
+        trainer = GanTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {"target": jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))}
+        state, metrics = trainer.round_step(state, [batch, batch], jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["generator_loss"]))
+        assert np.isfinite(float(metrics["discriminator_loss"]))
+        z = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+        out = trainer.sample(state, z)
+        assert out.shape == (4, 32, 32, 3)
+
     def test_conditional_pggan_source_input(self):
         # anime_faces-style conditional generation: 2D one-hot source becomes
         # the generator input instead of noise.

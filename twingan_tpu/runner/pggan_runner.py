@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color_space", default="rgb")
     p.add_argument("--do_random_cropping", type=_bool, default=False)
     # Model flags (reference nets/pggan.py).
+    p.add_argument("--generator_network", default="pggan",
+                   choices=["pggan", "cyclegan", "dcgan"],
+                   help="image_generation program only (reference "
+                        "image_generation.py:214-227; dcgan is our addition)")
     p.add_argument("--generator_norm_type", default="batch_norm")
     p.add_argument("--pggan_max_num_channels", type=int, default=256)
     p.add_argument("--pggan_max_num_channels_dis", type=int, default=0)
@@ -174,6 +178,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             num_classes = get_dataset(args.dataset_name).num_classes
         trainer = GanTrainerConfig(
             **common,
+            generator_network=args.generator_network,
             use_conditional_labels=args.use_conditional_labels,
             num_classes=num_classes or 0,
             conditional_embed_dim=args.conditional_embed_dim,

@@ -63,9 +63,14 @@ class GanTrainerConfig:
     # Fade-in schedule: alpha = (step - grow_start) / (max_steps - grow_start).
     grow_start_step: int = 0
     max_steps: int = 300000
-    # Network selection (reference generator_network flag): pggan | cyclegan.
+    # Network selection (reference generator_network flag, pggan | cyclegan,
+    # image_generation.py:214-227). dcgan is additionally selectable here —
+    # the reference ships nets/dcgan.py but never wires it into a trainer;
+    # BASELINE config #2 (DCGAN 64px on SVHN) needs it end-to-end.
     generator_network: str = "pggan"
     cyclegan_num_channels: int = 64
+    dcgan_depth: int = 64
+    dcgan_latent_dim: int = 64
     # Polyak averaging of generator params for eval (0 disables).
     moving_average_decay: float = 0.0
     # Conditional generation from dataset labels (reference
@@ -117,6 +122,15 @@ class GanTrainer(BaseGanTrainer):
                 num_outputs=cfg.model.image_channels,
             )
             self.dis = CycleGANDiscriminator(num_filters=cfg.cyclegan_num_channels)
+        elif cfg.generator_network == "dcgan":
+            from twingan_tpu.models.dcgan import DCGANDiscriminator, DCGANGenerator
+
+            self.gen = DCGANGenerator(
+                depth=cfg.dcgan_depth,
+                final_size=cfg.model.resolution,
+                num_outputs=cfg.model.image_channels,
+            )
+            self.dis = DCGANDiscriminator(depth=cfg.dcgan_depth)
         else:
             raise NotImplementedError(
                 f"generator_network {cfg.generator_network!r} is not implemented"
@@ -153,6 +167,10 @@ class GanTrainer(BaseGanTrainer):
             dis_params, dis_state = init_model(
                 self.dis, kd, img, alpha=0.0, extra_rngs={"gdrop": kn}, **dis_kwargs
             )
+        elif cfg.generator_network == "dcgan":
+            z = jnp.zeros((cfg.batch_size, cfg.dcgan_latent_dim), jnp.float32)
+            gen_params, gen_state = init_model(self.gen, kg, z)
+            dis_params, dis_state = init_model(self.dis, kd, img)
         else:
             gen_params, gen_state = init_model(self.gen, kg, img)
             dis_params, dis_state = init_model(self.dis, kd, img)
@@ -225,6 +243,8 @@ class GanTrainer(BaseGanTrainer):
         src = batch.get("source")
         if src is not None:
             return src.astype(jnp.float32)
+        if self.cfg.generator_network == "dcgan":
+            return jax.random.normal(key, (batch_size, self.cfg.dcgan_latent_dim))
         return jax.random.normal(key, noise_shape(self.cfg.model, batch_size))
 
     # ------------------------------------------------------------------ #

@@ -52,14 +52,16 @@ def apply_model(
     returned unchanged (e.g. the discriminator's forward inside a generator
     step must not advance batch stats or spectral-norm power iterations —
     matching the reference's scope-filtered update ops,
-    image_generation.py:626-629).
+    image_generation.py:626-629). Train-mode forwards still run with the
+    collections writable (stock flax modules like nn.BatchNorm always write
+    in train mode); the written state is simply discarded.
     """
     variables = {"params": params, **model_state}
-    mutable = list(model_state.keys()) if (update_state and model_state) else False
+    mutable = list(model_state.keys()) if ((update_state or train) and model_state) else False
     out = module.apply(variables, *args, train=train, rngs=rngs, mutable=mutable, **kwargs)
     if mutable:
         out, new_state = out
-        return out, dict(new_state)
+        return out, (dict(new_state) if update_state else model_state)
     return out, model_state
 
 
