@@ -51,11 +51,96 @@ def conv_flops_analytic(cfg) -> float:
     return total
 
 
+def train_mfu(iters: int) -> None:
+    """MFU for the TwinGAN 256px training round (reference schedule batch 3,
+    DRAGAN + UNet — the docs/PERFORMANCE.md headline train config). FLOPs
+    come from XLA's compiled cost analysis of scan_rounds (fwd + bwd + both
+    optimizers), throughput from the bench protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.train.losses import GanLossConfig
+    from twingan_tpu.train.optimizers import OptimizerConfig
+    from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+
+    batch, res, n_rounds = 3, 256, 10
+    cfg = TwinGANConfig(
+        model=PGGANConfig(resolution=res, max_channels=256, num_domains=2,
+                          equalized_lr=True, norm_type="batch_norm", dtype="bfloat16"),
+        loss=GanLossConfig(architecture="dragan"),
+        opt=OptimizerConfig(learning_rate=1e-4),
+        batch_size=batch,
+        use_unet=True,
+    )
+    trainer = TwinGANTrainer(cfg)
+    rng = np.random.RandomState(0)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    def stacked(seed):
+        r = np.random.RandomState(seed)
+        return {
+            k: jnp.asarray(
+                r.rand(n_rounds, cfg.n_critic, batch, res, res, 3).astype(np.float32))
+            for k in ("source", "target")
+        }
+
+    fn = type(trainer).scan_rounds.__wrapped__  # the unjitted method
+    lowered = jax.jit(fn, static_argnums=0, donate_argnums=1).lower(
+        trainer, state, stacked(0), jax.random.PRNGKey(1))
+    flops = None
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"cost_analysis unavailable ({e})", file=sys.stderr)
+
+    n_steps = n_rounds * cfg.n_critic
+    # Pre-stage all inputs on device OUTSIDE the timed region (the ~50 MB/s
+    # tunnel would otherwise dominate the measurement).
+    inputs = [stacked(2 + i) for i in range(iters)]
+    state, m = trainer.scan_rounds(state, stacked(1), jax.random.PRNGKey(1))
+    float(m["generator_loss"][-1])  # compile + flush (also flushes transfers)
+    for inp in inputs:
+        float(jnp.sum(inp["source"][0, 0]))
+    times = []
+    for inp in inputs:
+        t0 = time.perf_counter()
+        state, m = trainer.scan_rounds(state, inp, jax.random.PRNGKey(1))
+        float(m["generator_loss"][-1])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    steps_per_sec = n_steps / dt
+    out = {
+        "config": f"twingan_{res}px_b{batch}_dragan_unet",
+        "steps_per_sec": round(steps_per_sec, 2),
+        "imgs_per_sec": round(steps_per_sec * batch, 1),
+    }
+    if flops:
+        achieved = flops / dt
+        out.update({
+            "flops_per_step": round(flops / n_steps / 1e9, 2),
+            "unit_flops": "GFLOP/step",
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "peak_bf16_tflops": V5E_PEAK_BF16 / 1e12,
+            "mfu": round(achieved / V5E_PEAK_BF16, 4),
+        })
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--train", action="store_true",
+                   help="measure the TwinGAN 256px training round instead")
     args = p.parse_args(argv)
+
+    if args.train:
+        train_mfu(args.iters)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -83,6 +83,10 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=750)
     p.add_argument("--rounds_per_scan", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loss", default="gan",
+                   choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--l_cyc", type=float, default=5.0)
     args = p.parse_args(argv)
 
     t_wall = time.time()
@@ -125,11 +129,11 @@ def main(argv=None):
             norm_type="instance_norm", equalized_lr=True, do_pixel_norm=True,
             num_domains=2, dtype="bfloat16",
         ),
-        loss=GanLossConfig(architecture="gan"),
-        opt=OptimizerConfig(learning_rate=2e-4),
+        loss=GanLossConfig(architecture=args.loss),
+        opt=OptimizerConfig(learning_rate=args.lr),
         batch_size=args.batch,
         use_unet=True,
-        l_cyc_weight=5.0,
+        l_cyc_weight=args.l_cyc,
         l_content_weight=0.1,
     )
     run_cfg = RunConfig(
