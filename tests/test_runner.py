@@ -144,6 +144,22 @@ class TestStageRunnerEndToEnd:
         defaults.update(kw)
         return RunConfig(**defaults)
 
+    def test_dcgan_single_stage_run(self, tmp_path):
+        # BASELINE config #2 path: DCGAN through the StageRunner (one
+        # fixed-resolution stage, no growth) on synthetic data.
+        cfg = self._run_cfg(
+            tmp_path,
+            start_hw=8,
+            max_hw=8,
+            batch_schedule={8: 4},
+            trainer=small_trainer_cfg().replace(
+                generator_network="dcgan", dcgan_depth=8, dcgan_latent_dim=8
+            ),
+        )
+        summary = StageRunner(cfg).run()
+        assert summary["8"]["steps"] == 3
+        assert CheckpointManager(os.path.join(cfg.train_dir, "8")).latest_step() == 3
+
     def test_progressive_run_and_skip(self, tmp_path):
         cfg = self._run_cfg(tmp_path)
         runner = StageRunner(cfg)
