@@ -144,6 +144,52 @@ class TestStageRunnerEndToEnd:
         defaults.update(kw)
         return RunConfig(**defaults)
 
+    def test_conditional_real_data_threads_vocab(self, tmp_path):
+        # Real-TFRecord conditional training: the runner must thread the
+        # trainer's num_classes and the vocab_file into the dataset spec so
+        # text-tag datasets emit right-width one-hots (code-review finding:
+        # previously only SyntheticSource got them).
+        from PIL import Image as PILImage
+
+        from twingan_tpu.data.converters import convert_tagged_images
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.RandomState(0)
+        names = []
+        for i in range(8):
+            arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            name = f"img_{i}.png"
+            PILImage.fromarray(arr).save(img_dir / name)
+            names.append(name)
+        tags_file = tmp_path / "tags.tsv"
+        tags_file.write_text(
+            "\n".join(f"{n}\ttag_{i % 3}" for i, n in enumerate(names))
+        )
+        vocab_file = tmp_path / "vocab.txt"
+        vocab_file.write_text("tag_0\ntag_1\ntag_2\n")
+        rec_dir = str(tmp_path / "records")
+        assert convert_tagged_images(
+            str(img_dir), str(tags_file), rec_dir,
+            dataset_name="anime_faces", num_shards=1,
+        ) == 8
+        cfg = self._run_cfg(
+            tmp_path,
+            start_hw=8,
+            max_hw=8,
+            batch_schedule={8: 4},
+            use_synthetic_data=False,
+            dataset_name="anime_faces",
+            dataset_dir=rec_dir,
+            vocab_file=str(vocab_file),
+            trainer=small_trainer_cfg().replace(
+                use_conditional_labels=True, num_classes=3,
+                conditional_embed_dim=4,
+            ),
+        )
+        summary = StageRunner(cfg).run()
+        assert summary["8"]["steps"] == 3
+
     def test_dcgan_single_stage_run(self, tmp_path):
         # BASELINE config #2 path: DCGAN through the StageRunner (one
         # fixed-resolution stage, no growth) on synthetic data.

@@ -180,19 +180,30 @@ def main(argv=None):
     flops_per_img = flops / batch
 
     # Bench protocol (see bench.py / CLAUDE.md): distinct inputs, scalar
-    # fetch per iteration.
-    fn = jax.jit(translate)
+    # fetch per timed dispatch; a scan over `chunk` distinct batches inside
+    # one dispatch amortizes the ~50ms tunnel latency so the number reflects
+    # device throughput, matching bench.py.
+    chunk = 4
+
+    @jax.jit
+    def translate_chunk(enc_vars, gen_vars, stacked):
+        def body(acc, im):
+            return acc + jnp.sum(translate(enc_vars, gen_vars, im)), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+        return total
+
     inputs = [
-        jnp.asarray(np.random.RandomState(i + 1).rand(batch, 256, 256, 3).astype(np.float32))
+        jnp.asarray(np.random.RandomState(i + 1)
+                    .rand(chunk, batch, 256, 256, 3).astype(np.float32))
         for i in range(args.iters)
     ]
-    float(jnp.sum(fn(enc_vars, gen_vars, inputs[0])))
+    float(translate_chunk(enc_vars, gen_vars, inputs[0]))
     times = []
     for im in inputs:
         t0 = time.perf_counter()
-        float(jnp.sum(fn(enc_vars, gen_vars, im)))
+        float(translate_chunk(enc_vars, gen_vars, im))
         times.append(time.perf_counter() - t0)
-    imgs_per_sec = batch / float(np.median(times))
+    imgs_per_sec = chunk * batch / float(np.median(times))
     achieved = imgs_per_sec * flops_per_img
 
     print(json.dumps({

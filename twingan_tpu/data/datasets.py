@@ -93,7 +93,10 @@ def _decode_anime_faces(payload, spec: DatasetSpec):
     img = _decode_image(ex["image/encoded"][0], ex.get("image/format", [b"jpeg"])[0])
     label_text = bytes(ex.get("image/class/text", [b""])[0]).decode("utf-8")
     out = {
-        "source": img,
+        # Reference: 'target' if FLAGS.dataset_use_target else 'source'
+        # (datasets/anime_faces.py:95) — as 'target', the image is the GAN's
+        # real-data distribution and the generator input stays noise.
+        "target" if spec.use_target else "source": img,
         "label_text": np.asarray(label_text),
         "filename": np.asarray(ex.get("image/filename", [b""])[0]),
     }
@@ -111,7 +114,7 @@ def _decode_celeba(payload, spec: DatasetSpec):
     ex = decode_example(payload)
     img = _decode_image(ex["image/encoded"][0], ex.get("image/format", [b"jpeg"])[0])
     out = {
-        "source": img,
+        "target" if spec.use_target else "source": img,
         "conditional_labels": ex["image/attribs"].astype(np.float32),
         "landmarks": ex["image/landmarks"],
         "filename": np.asarray(ex.get("image/filename", [b""])[0]),
@@ -142,8 +145,9 @@ def _decode_svhn(payload, spec: DatasetSpec):
     label = int(ex.get("image/class/label", np.zeros(1, np.int64))[0])
     hot = np.zeros((spec.num_classes,), np.float32)
     hot[label % spec.num_classes] = 1.0
-    return {"source": img, "target": img, "image": img,
-            "label": np.int64(label), "conditional_labels": hot}
+    out = {"image": img, "label": np.int64(label), "conditional_labels": hot}
+    out["target" if spec.use_target else "source"] = img
+    return out
 
 
 def _decode_danbooru(payload, spec: DatasetSpec):

@@ -88,6 +88,7 @@ class TFRecordSource:
         # per-sample dict/stack work (this 1-core host's per-batch Python
         # overhead was the real-data bottleneck, VERDICT round 1 item 9).
         self._arrays: Optional[Dict[str, np.ndarray]] = None
+        self._arrays_failed = False  # memoized: ragged items, keep dicts
 
     @property
     def num_samples(self) -> int:
@@ -121,6 +122,7 @@ class TFRecordSource:
         """Promote a complete dict cache to contiguous per-key arrays."""
         if (
             self._arrays is not None
+            or self._arrays_failed
             or self._cache is None
             or len(self._cache) != len(self.index)
         ):
@@ -138,7 +140,10 @@ class TFRecordSource:
             elif all(np.shape(v) == np.shape(first) for v in vals):
                 arrays[k] = np.stack(vals)
             else:
-                return  # ragged item (e.g. variable tag lists): keep dicts
+                # Ragged item (e.g. variable tag lists): keep dicts, and
+                # don't redo this O(dataset) attempt every epoch.
+                self._arrays_failed = True
+                return
         self._arrays = arrays
         self._cache = {}  # free the duplicate dict storage
         self._cache_bytes = 0

@@ -216,8 +216,14 @@ def import_tf_checkpoint(ckpt_path: str, state, strict: bool = False):
         value = np.asarray(reader.get_tensor(tf_name))
         target_shape = tuple(np.shape(cursor[path[-1]]))
         if target_shape != value.shape:
-            if value.size == int(np.prod(target_shape)):
-                # e.g. the spectral-norm u: TF keeps [1, out], we keep [out].
+            squeezed = tuple(d for d in value.shape if d != 1)
+            target_squeezed = tuple(d for d in target_shape if d != 1)
+            if squeezed == target_squeezed:
+                # Rank-only difference, e.g. the spectral-norm u: TF keeps
+                # [1, out], we keep [out]. Anything with genuinely different
+                # dims (equal element count included — a channel-schedule
+                # divergence) must surface as shape_mismatch, not import
+                # silently-wrong weights.
                 value = value.reshape(target_shape)
             else:
                 report["shape_mismatch"].append(

@@ -57,6 +57,11 @@ def local_batch_slice(global_batch: int) -> slice:
     """This process's slice of a globally-sharded batch: hosts feed only
     their local shard (jax.make_array_from_process_local_data pattern)."""
     n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by process_count {n}"
+            " — remainder samples would be silently dropped"
+        )
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_dataset_name", default="image_only")
     p.add_argument("--target_dataset_dir", default="")
     p.add_argument("--use_synthetic_data", type=_bool, default=False)
+    p.add_argument("--vocab_file", default="",
+                   help="label vocabulary for text-tag datasets (one label "
+                        "per line); needed for conditional anime_faces/"
+                        "danbooru training")
     p.add_argument("--resize_mode", default="PAD")
     p.add_argument("--color_space", default="rgb")
     p.add_argument("--do_random_cropping", type=_bool, default=False)
@@ -198,6 +202,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         target_dataset_name=args.target_dataset_name,
         target_dataset_dir=args.target_dataset_dir,
         use_synthetic_data=args.use_synthetic_data,
+        vocab_file=args.vocab_file,
         resize_mode=args.resize_mode,
         color_space=args.color_space,
         do_random_cropping=args.do_random_cropping,

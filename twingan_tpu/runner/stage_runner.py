@@ -87,6 +87,11 @@ class RunConfig:
     target_dataset_name: str = "image_only"
     target_dataset_dir: str = ""
     use_synthetic_data: bool = False
+    # Label vocabulary for text-tag datasets (anime_faces / danbooru) —
+    # one label per line, index = line number (reference labels.txt files,
+    # datasets/dataset_utils.py:113-162). Required for conditional training
+    # on those datasets; class-id/attribute datasets don't need it.
+    vocab_file: str = ""
     resize_mode: str = "PAD"
     color_space: str = "rgb"
     do_random_cropping: bool = False
@@ -215,8 +220,19 @@ class StageRunner:
                                   seed=cfg.seed, keys=keys, num_classes=num_classes)
             return iter(src), lambda: None
         pp = self._preprocess_cfg(res)
+        # Thread the trainer's label space into the dataset spec so real-data
+        # conditional training emits one-hots of the right width (reference
+        # num_classes_override / label files, dataset_factory.py:61-91).
+        num_classes = int(getattr(cfg.trainer, "num_classes", 0) or 0)
         a = TFRecordSource(
-            get_dataset(cfg.dataset_name),
+            # Single-dataset generation: images are the real-data
+            # distribution ('target'), so the generator input stays noise —
+            # the reference's --dataset_use_target=True generation setup
+            # (datasets/image_only.py:86). Paired/two-domain programs keep
+            # source semantics.
+            get_dataset(cfg.dataset_name, num_classes=num_classes,
+                        vocab_file=cfg.vocab_file or None,
+                        use_target=not needs_pair),
             list_shards(cfg.dataset_dir, cfg.dataset_split),
             pp, batch, seed=cfg.seed,
         )
@@ -232,7 +248,8 @@ class StageRunner:
         def to_target(it):
             for item in it:
                 item = dict(item)
-                item.setdefault("target", item.get("source"))
+                if item.get("target") is None and item.get("source") is not None:
+                    item["target"] = item["source"]
                 yield item
         pf = DevicePrefetcher(to_target(iter(a)), depth=2,
                               sharding=self.batch_sharding, to_device=to_device)
@@ -563,5 +580,23 @@ class StageRunner:
                         os.path.join(out_dir, f"{step}.png"),
                         stack_comparison([r[:k] for r in rows]),
                     )
+            else:
+                # DCGAN (or any flat-latent network): noise interpolation
+                # between two fixed latents, same protocol as pggan.
+                rng = np.random.RandomState(314)
+                dim = getattr(trainer.cfg, "dcgan_latent_dim", 64)
+                z1 = rng.standard_normal((1, dim)).astype(np.float32)
+                z2 = rng.standard_normal((1, dim)).astype(np.float32)
+                ts = np.linspace(0.0, 1.0, n_show, dtype=np.float32)[:, None]
+                z = jnp.asarray(z1 * ts + z2 * (1 - ts))
+                img = np.asarray(trainer.sample(state, z).astype(jnp.float32))
+                rows = [img]
+                if fixed_batch.get("target") is not None:
+                    rows.append(np.asarray(fixed_batch["target"])[:n_show])
+                k = min(len(r) for r in rows)
+                save_image_grid(
+                    os.path.join(out_dir, f"{step}.png"),
+                    stack_comparison([r[:k] for r in rows]),
+                )
         except Exception as e:  # sample dumps must never kill training
             print(f"[sample dump failed: {e}]")

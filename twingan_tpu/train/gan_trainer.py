@@ -226,8 +226,20 @@ class GanTrainer(BaseGanTrainer):
             return None, None
         labels = batch.get("conditional_labels")
         if labels is None:
-            return None, None
+            # A model initialized with conditional norms/concat cannot run
+            # without them (the param tree and D input widths differ) —
+            # fail loudly instead of deep inside flax.
+            raise ValueError(
+                "use_conditional_labels=True but the batch has no "
+                "'conditional_labels' item; check the dataset emits labels "
+                "(text-tag datasets need a vocab_file)"
+            )
         labels = jnp.asarray(labels)
+        if labels.ndim == 2 and labels.shape[-1] != self.cfg.num_classes:
+            raise ValueError(
+                f"conditional_labels width {labels.shape[-1]} != "
+                f"num_classes {self.cfg.num_classes}"
+            )
         if labels.ndim == 1:
             # Integer class ids -> safe one-hot (reference util_misc.py:89).
             from twingan_tpu.utils.misc import safe_one_hot_encoding
@@ -241,10 +253,15 @@ class GanTrainer(BaseGanTrainer):
         (conditional generation / paired translation, reference
         image_generation.py:246), else fresh noise."""
         src = batch.get("source")
+        if self.cfg.generator_network == "dcgan":
+            # DCGAN takes [B, N] latents; image datasets emit source==target
+            # (image_only schema), which must NOT be fed as the latent. A 2D
+            # source (a dataset-provided latent/code) still passes through.
+            if src is not None and src.ndim == 2:
+                return src.astype(jnp.float32)
+            return jax.random.normal(key, (batch_size, self.cfg.dcgan_latent_dim))
         if src is not None:
             return src.astype(jnp.float32)
-        if self.cfg.generator_network == "dcgan":
-            return jax.random.normal(key, (batch_size, self.cfg.dcgan_latent_dim))
         return jax.random.normal(key, noise_shape(self.cfg.model, batch_size))
 
     # ------------------------------------------------------------------ #
