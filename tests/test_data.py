@@ -234,6 +234,27 @@ class TestPreprocess:
         assert out[0, :, :].max() == 0.0  # top padding
         assert out[20, :, :].min() > 0.9  # center content
 
+    def test_host_resize_uint8_matches_float_path(self):
+        from twingan_tpu.data.preprocess import host_resize_uint8
+
+        img = (np.random.RandomState(3).rand(30, 60, 3) * 255).astype(np.uint8)
+        for mode in ("PAD", "CROP", "RESHAPE", "NONE"):
+            u8 = host_resize_uint8(img, mode, 32)
+            assert u8.dtype == np.uint8
+            np.testing.assert_allclose(
+                u8.astype(np.float32) / 255.0, host_resize(img, mode, 32)
+            )
+
+    def test_augment_uint8_matches_float(self):
+        # uint8 transfer dtype -> identical augmented output as float [0,1].
+        cfg = PreprocessConfig(output_hw=16, is_training=True)
+        u8 = (np.random.RandomState(1).rand(4, cfg.host_hw, cfg.host_hw, 3) * 255).astype(np.uint8)
+        a = augment_batch(jax.random.PRNGKey(7), jnp.asarray(u8), cfg)
+        b = augment_batch(
+            jax.random.PRNGKey(7), jnp.asarray(u8.astype(np.float32) / 255.0), cfg
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_augment_shapes_and_range(self):
         cfg = PreprocessConfig(output_hw=16, is_training=True, do_random_cropping=True)
         imgs = jnp.asarray(np.random.RandomState(0).rand(4, cfg.host_hw, cfg.host_hw, 3), jnp.float32)
@@ -311,6 +332,25 @@ class TestPipeline:
         batches = list(iter(src))
         assert len(batches) == 2  # drop remainder
         assert batches[0]["source"].shape == (4, 16, 16, 3)
+        assert batches[0]["source"].dtype == np.float32
+        assert batches[0]["source"].max() <= 1.0
+
+        # yield_uint8=True ships the 1-byte/pixel transfer dtype.
+        src8 = TFRecordSource(
+            get_dataset("image_only"),
+            list_shards(out, "train"),
+            PreprocessConfig(output_hw=16),
+            batch_size=4,
+            repeat=False,
+            yield_uint8=True,
+        )
+        b8 = next(iter(src8))
+        assert b8["source"].dtype == np.uint8
+        np.testing.assert_allclose(
+            np.sort(b8["source"].astype(np.float32).ravel()) / 255.0,
+            np.sort(batches[0]["source"].ravel()),
+            atol=1e-6,
+        )
 
     def test_unpaired_and_prefetch(self, tmp_path):
         from twingan_tpu.data.pipeline import DevicePrefetcher, SyntheticSource, UnpairedSource

@@ -220,6 +220,21 @@ class TestStageRunnerEndToEnd:
         summary2 = StageRunner(cfg).run()
         assert all(info.get("skipped") for info in summary2.values())
 
+    def test_max_stages_per_run_resumes(self, tmp_path):
+        # Per-call stage budget: each run() executes one incomplete stage and
+        # reports _incomplete until the plan is done (host-memory isolation
+        # for the leaky axon transfer path).
+        cfg = self._run_cfg(tmp_path, max_stages_per_run=1)
+        done_stages = []
+        for _ in range(10):
+            summary = StageRunner(cfg).run()
+            if not summary.pop("_incomplete", False):
+                done_stages = list(summary)
+                break
+        assert set(done_stages) == {"4", "4to8", "8"}
+        for stage in ("4", "4to8", "8"):
+            assert CheckpointManager(os.path.join(cfg.train_dir, stage)).latest_step() == 3
+
     def test_twingan_program(self, tmp_path):
         from twingan_tpu.train.twingan_trainer import TwinGANConfig
 

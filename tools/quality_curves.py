@@ -87,7 +87,25 @@ def main(argv=None):
                    choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--l_cyc", type=float, default=5.0)
+    p.add_argument("--isolate_stages", type=int, default=1,
+                   help="run each training stage in its own subprocess (the "
+                   "axon TPU client leaks every host->device payload for "
+                   "process lifetime; per-stage re-exec bounds host RSS)")
+    p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+
+    if args.isolate_stages and not args._worker:
+        import subprocess
+
+        base = list(argv if argv is not None else sys.argv[1:])
+        while True:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *base, "--_worker"]
+            ).returncode
+            if rc == 0:
+                return
+            if rc != 3:  # 3 = "one stage done, more remain"
+                raise SystemExit(rc)
 
     t_wall = time.time()
     dom = os.path.join(args.work, "domains")
@@ -153,10 +171,22 @@ def main(argv=None):
         rounds_per_scan=args.rounds_per_scan,
         num_devices=1,
         seed=args.seed,
+        max_stages_per_run=1 if args.isolate_stages else 0,
     )
     runner = StageRunner(run_cfg)
     summary = runner.run()
-    train_wall = time.time() - t_wall
+    # Cumulative training wall-clock across isolated per-stage subprocesses.
+    wall_path = os.path.join(args.work, "train_wall.json")
+    prior = 0.0
+    if os.path.exists(wall_path):
+        with open(wall_path) as f:
+            prior = json.load(f)["train_wall_sec"]
+    train_wall = prior + (time.time() - t_wall)
+    with open(wall_path, "w") as f:
+        json.dump({"train_wall_sec": train_wall}, f)
+    if summary.pop("_incomplete", False):
+        print("stage complete, more remain:", json.dumps(summary))
+        raise SystemExit(3)
     print("training complete:", json.dumps(summary))
 
     # ---------------- metric-vs-step curves over every checkpoint ---------

@@ -19,8 +19,10 @@ import numpy as np
 import jax
 
 from twingan_tpu.data.datasets import DatasetSpec
-from twingan_tpu.data.preprocess import PreprocessConfig, host_resize
+from twingan_tpu.data.preprocess import PreprocessConfig, host_resize_uint8
 from twingan_tpu.data.tfrecord import TFRecordReader
+
+_IMAGE_KEYS = ("source", "target", "image")
 
 
 class SyntheticSource:
@@ -64,6 +66,7 @@ class TFRecordSource:
         drop_remainder: bool = True,
         cache: bool = True,
         cache_max_bytes: int = 4 << 30,
+        yield_uint8: bool = False,
     ):
         if not shard_paths:
             raise ValueError(f"no tfrecord shards given for dataset {spec.name}")
@@ -73,6 +76,12 @@ class TFRecordSource:
         self.repeat = repeat
         self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
+        # Images are cached AND yielded as uint8 when yield_uint8=True: 4x
+        # more samples fit in cache_max_bytes, and the host->device transfer
+        # (the ~50 MB/s tunnel is the real-data bottleneck) moves 1 byte/px;
+        # augment_batch converts to [0,1] float on device. Default False
+        # keeps the float [0,1] contract for eval/metric consumers.
+        self.yield_uint8 = yield_uint8
         self.readers = [TFRecordReader(p) for p in shard_paths]
         self.index = [(si, ri) for si, r in enumerate(self.readers) for ri in range(len(r))]
         if not self.index:
@@ -102,10 +111,10 @@ class TFRecordSource:
                 return cached
         item = self.spec.parse(self.readers[si][ri])
         pp = self.preprocess
-        for key in ("source", "target", "image"):
+        for key in _IMAGE_KEYS:
             img = item.get(key)
             if img is not None and getattr(img, "ndim", 0) >= 2:
-                item[key] = host_resize(
+                item[key] = host_resize_uint8(
                     img, pp.resize_mode, pp.host_hw, rng=self._rng,
                     initial_crop_hw=pp.initial_crop_hw,
                 )
@@ -148,6 +157,16 @@ class TFRecordSource:
         self._cache = {}  # free the duplicate dict storage
         self._cache_bytes = 0
 
+    def _finalize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """uint8 image items -> float32 [0,1] unless yield_uint8."""
+        if self.yield_uint8:
+            return batch
+        for k in _IMAGE_KEYS:
+            v = batch.get(k)
+            if v is not None and getattr(v, "dtype", None) == np.uint8:
+                batch[k] = v.astype(np.float32) / 255.0
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             self._maybe_build_arrays()
@@ -157,7 +176,7 @@ class TFRecordSource:
                 stop = n - self.batch_size + 1 if self.drop_remainder else n
                 for i in range(0, stop, self.batch_size):
                     idx = order[i : i + self.batch_size]
-                    yield {k: v[idx] for k, v in self._arrays.items()}
+                    yield self._finalize({k: v[idx] for k, v in self._arrays.items()})
                 if not self.repeat:
                     return
                 continue
@@ -170,10 +189,10 @@ class TFRecordSource:
                 except Exception:
                     continue  # skip undecodable records like the ref converters
                 if len(batch) == self.batch_size:
-                    yield _collate(batch)
+                    yield self._finalize(_collate(batch))
                     batch = []
             if batch and not self.drop_remainder:
-                yield _collate(batch)
+                yield self._finalize(_collate(batch))
             if not self.repeat:
                 return
 

@@ -70,6 +70,21 @@ class PreprocessConfig:
 def host_resize(img: np.ndarray, mode: str, new_hw: int, rng: Optional[np.random.RandomState] = None,
                 initial_crop_hw: Optional[int] = None) -> np.ndarray:
     """uint8 HWC -> float32 HWC in [0,1] at (new_hw, new_hw)."""
+    out = host_resize_uint8(img, mode, new_hw, rng=rng, initial_crop_hw=initial_crop_hw)
+    return out.astype(np.float32) / 255.0
+
+
+def host_resize_uint8(img: np.ndarray, mode: str, new_hw: int,
+                      rng: Optional[np.random.RandomState] = None,
+                      initial_crop_hw: Optional[int] = None) -> np.ndarray:
+    """uint8 HWC -> uint8 HWC at (new_hw, new_hw).
+
+    Same geometry as :func:`host_resize` (PIL already resizes in uint8),
+    without the trailing [0,1] float conversion — callers that ship batches
+    to the device keep them 1 byte/pixel (4x smaller host cache + transfer;
+    the uint8 -> [0,1] conversion is fused into augment_batch on device,
+    matching the reference order decode-uint8 -> convert_image_dtype,
+    inference/image_translation_infer.py:55-58)."""
     assert mode in RESIZE_MODES, mode
     if img.ndim == 2:
         img = img[:, :, None]
@@ -82,7 +97,7 @@ def host_resize(img: np.ndarray, mode: str, new_hw: int, rng: Optional[np.random
         return out[:, :, None] if out.ndim == 2 else out
 
     if mode == "NONE":
-        return img.astype(np.float32) / 255.0
+        return np.asarray(img, np.uint8)
     if mode == "PAD":
         if h != w:
             size = max(h, w)
@@ -110,7 +125,7 @@ def host_resize(img: np.ndarray, mode: str, new_hw: int, rng: Optional[np.random
         img = img[oh : oh + crop_hw, ow : ow + crop_hw]
         if mode == "RANDOM_CROP_AND_RESHAPE":
             img = bilinear(img, new_hw)
-    return img.astype(np.float32) / 255.0
+    return np.asarray(img, np.uint8)
 
 
 # ------------------------------------------------------------------ #
@@ -251,8 +266,11 @@ def yiq_to_rgb(x: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> jax.Array:
     """Device-side tail of the train preprocessing path. ``images`` is the
-    host-resized [B, host_hw, host_hw, C] float batch in [0,1]."""
+    host-resized [B, host_hw, host_hw, C] batch — float in [0,1], or uint8
+    (the bandwidth-saving transfer dtype; converted here on device)."""
     x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
     k_crop, k_flip, k_sel, k_col = jax.random.split(key, 4)
     if cfg.is_training:
         if cfg.do_random_cropping and x.shape[1] > cfg.output_hw:

@@ -123,6 +123,12 @@ class RunConfig:
     # BN statistics parity, reference libs/batch_norm.py moments per GPU).
     num_devices: int = 0
     seed: int = 0
+    # Execute at most this many INCOMPLETE stages per run() call (0 = all).
+    # Lets a driving process re-exec between stages for host-memory isolation
+    # (the axon TPU client pins every host->device payload for process
+    # lifetime, ~transfer-size leaked per put); run() returns a summary with
+    # "_incomplete": True when stages remain.
+    max_stages_per_run: int = 0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -234,13 +240,13 @@ class StageRunner:
                         vocab_file=cfg.vocab_file or None,
                         use_target=not needs_pair),
             list_shards(cfg.dataset_dir, cfg.dataset_split),
-            pp, batch, seed=cfg.seed,
+            pp, batch, seed=cfg.seed, yield_uint8=True,
         )
         if needs_pair:
             b = TFRecordSource(
                 get_dataset(cfg.target_dataset_name, use_target=False),
                 list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
-                pp, batch, seed=cfg.seed + 1,
+                pp, batch, seed=cfg.seed + 1, yield_uint8=True,
             )
             pf = DevicePrefetcher(UnpairedSource(a, b), depth=2,
                                   sharding=self.batch_sharding, to_device=to_device)
@@ -262,7 +268,8 @@ class StageRunner:
         plan = stage_plan(cfg.start_hw, cfg.max_hw)
         prev_stage_dir: Optional[str] = None
         summary = {}
-        for res, growing in plan:
+        executed = 0
+        for i, (res, growing) in enumerate(plan):
             stage_dir = os.path.join(cfg.train_dir, stage_dir_name(res, growing))
             steps = self.steps_for_stage(res)
             cm = CheckpointManager(stage_dir)
@@ -272,9 +279,13 @@ class StageRunner:
                 prev_stage_dir = stage_dir
                 summary[stage_dir_name(res, growing)] = {"skipped": True, "step": latest}
                 continue
+            if cfg.max_stages_per_run and executed >= cfg.max_stages_per_run:
+                summary["_incomplete"] = True
+                return summary
             info = self._run_stage(res, growing, steps, stage_dir, prev_stage_dir, cm)
             summary[stage_dir_name(res, growing)] = info
             prev_stage_dir = stage_dir
+            executed += 1
         return summary
 
     def _run_stage(
