@@ -263,8 +263,10 @@ class DevicePrefetcher:
         if not self.to_device:
             pass  # host arrays; the consumer stages them in bulk
         elif self.sharding is not None:
+            from twingan_tpu.parallel import put_with_sharding
+
             batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self.sharding), batch
+                lambda x: put_with_sharding(x, self.sharding), batch
             )
         else:
             batch = jax.tree_util.tree_map(jax.device_put, batch)

@@ -12,6 +12,11 @@ from twingan_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_sharding,
+    put_with_sharding,
     replicated_sharding,
 )
-from twingan_tpu.parallel.multihost import initialize_from_env, local_batch_slice
+from twingan_tpu.parallel.multihost import (
+    initialize_from_env,
+    local_batch_slice,
+    make_global_array,
+)

@@ -10,15 +10,19 @@ replicated-params / batch-sharded layout rides ICI within a slice and DCN
 across slices — XLA places the gradient all-reduce hierarchically on its
 own. No code in the trainers changes between 1 and N hosts.
 
-Single-host environments (this image has one TPU chip) exercise the logic
-through `initialize_from_env()`'s no-op path; the multi-host branch is
-structural and follows the documented jax.distributed contract.
+Single-host environments (this image has one TPU chip) exercise the no-op
+path of `initialize_from_env()`; the multi-process branch is executed for
+real by tests/test_multihost.py — two OS processes x two virtual CPU devices
+each, gloo collectives over localhost standing in for DCN — which asserts a
+full TwinGAN training round matches the single-process 4-device run.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Any, Optional
+
+import numpy as np
 
 import jax
 
@@ -65,3 +69,19 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def make_global_array(x: Any, sharding) -> jax.Array:
+    """Assemble one global jax.Array from per-process host data.
+
+    ``x`` is the GLOBAL-shape host array; every process passes the same
+    value (the deterministic-iterator pattern: all hosts run the same
+    seeded data iterator and this helper slices out their shard). For a
+    batch-sharded ``sharding`` each process contributes rows
+    ``local_batch_slice``; for a fully-replicated sharding each process
+    contributes the whole array."""
+    x = np.asarray(x)
+    spec = sharding.spec
+    if len(spec) and spec[0] is not None:
+        x = x[local_batch_slice(x.shape[0])]
+    return jax.make_array_from_process_local_data(sharding, x)

@@ -55,10 +55,14 @@ class CheckpointManager:
         state_dict = flax.serialization.to_state_dict(state)
         state_dict = jax.device_get(state_dict)
         self._ckptr.save(path, state_dict, force=True)
-        for old in self.all_steps()[:-keep]:
-            import shutil
+        # Multi-host: orbax's save coordinates across processes itself
+        # (primary-host writes + internal barrier); pruning is host-side
+        # filesystem work that only one process should do.
+        if jax.process_index() == 0:
+            for old in self.all_steps()[:-keep]:
+                import shutil
 
-            shutil.rmtree(self._path(old), ignore_errors=True)
+                shutil.rmtree(self._path(old), ignore_errors=True)
         return path
 
     def restore_dict(self, step: Optional[int] = None) -> Optional[dict]:

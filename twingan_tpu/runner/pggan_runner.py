@@ -219,9 +219,24 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # Multi-host: join the jax.distributed job when JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID are set (no-op otherwise); the mesh
+    # in StageRunner then spans all global devices (tests/test_multihost.py
+    # executes this path cross-process).
+    from twingan_tpu.parallel import initialize_from_env
+
+    if initialize_from_env():
+        print(f"multi-host: process {jax_process_info()}")
     runner = StageRunner(config_from_args(args))
     summary = runner.run()
     print("run complete:", summary)
+
+
+def jax_process_info() -> str:
+    import jax
+
+    return f"{jax.process_index()}/{jax.process_count()} " \
+           f"({jax.local_device_count()} local / {jax.device_count()} global devices)"
 
 
 if __name__ == "__main__":

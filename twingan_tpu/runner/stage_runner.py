@@ -134,6 +134,19 @@ class RunConfig:
         return dataclasses.replace(self, **kw)
 
 
+class _NullWriter:
+    """Summary sink for non-coordinator processes in multi-host runs."""
+
+    def scalars(self, step, values):  # noqa: D401 - interface parity
+        pass
+
+    def images(self, step, tag, images):
+        pass
+
+    def close(self):
+        pass
+
+
 class StageRunner:
     def __init__(self, cfg: RunConfig):
         if cfg.trainer is None:
@@ -164,6 +177,26 @@ class StageRunner:
             self.batch_sharding = None
 
     # ------------------------------------------------------------------ #
+    @property
+    def is_coordinator(self) -> bool:
+        """Multi-host: only process 0 writes checkpoints/summaries/samples
+        (every process computes identical replicated state, so one writer
+        suffices; concurrent writers would race on the same files)."""
+        return jax.process_index() == 0
+
+    def _barrier(self, name: str) -> None:
+        """Cross-process sync point so readers never see in-flight writes."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
+    def _save(self, cm: CheckpointManager, step: int, state) -> None:
+        # ALL processes call save — orbax coordinates internally (primary
+        # host writes, sync_global_processes barrier); guarding to one
+        # process would deadlock its cross-process sync.
+        cm.save(step, state, keep=self.cfg.keep_checkpoints)
+
     def batch_size(self, res: int) -> int:
         """GLOBAL batch: per-device schedule entry x mesh size."""
         sched = self.cfg.batch_schedule or (
@@ -299,7 +332,8 @@ class StageRunner:
     ) -> Dict[str, Any]:
         cfg = self.cfg
         trainer, tcfg = self._build_trainer(res, growing, steps)
-        save_config_snapshot(stage_dir, {"run": cfg.replace(trainer=None), "trainer": tcfg})
+        if self.is_coordinator:
+            save_config_snapshot(stage_dir, {"run": cfg.replace(trainer=None), "trainer": tcfg})
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
         if self.mesh is not None:
             print(f"[stage {stage_dir_name(res, growing)}] data-parallel mesh "
@@ -330,7 +364,8 @@ class StageRunner:
                 )
 
         state = self._replicate(state)
-        writer = SummaryWriter(os.path.join(stage_dir, "logs"))
+        writer = (SummaryWriter(os.path.join(stage_dir, "logs"))
+                  if self.is_coordinator else _NullWriter())
         data_iter, close_data = self._build_data(
             res, trainer.cfg.batch_size, to_device=cfg.rounds_per_scan <= 1
         )
@@ -341,10 +376,13 @@ class StageRunner:
         tag = stage_dir_name(res, growing)
 
         def put(x):
-            x = jnp.asarray(x)
-            if self.batch_sharding is not None and x.sharding != self.batch_sharding:
-                x = jax.device_put(x, self.batch_sharding)
-            return x
+            if self.batch_sharding is not None:
+                from twingan_tpu.parallel import put_with_sharding
+
+                if not (isinstance(x, jax.Array) and x.sharding == self.batch_sharding):
+                    x = put_with_sharding(x, self.batch_sharding)
+                return x
+            return jnp.asarray(x)
 
         # First augmented batch of the stage, held fixed for sample grids
         # (reference fixed-source dumps, twingan.py:581-680).
@@ -364,7 +402,9 @@ class StageRunner:
                     if key in raw:
                         batch[key] = put(raw[key])
                 batches.append(batch)
-            if not fixed_batch and cfg.log_image_every_n_iter:
+            # (multi-host: shards are not host-fetchable; grids are a
+            # single-controller observability feature, skip them there)
+            if not fixed_batch and cfg.log_image_every_n_iter and jax.process_count() == 1:
                 fixed_batch.update(
                     {k: np.asarray(v, np.float32) for k, v in batches[0].items()}
                 )
@@ -395,9 +435,24 @@ class StageRunner:
                     [np.stack([np.asarray(raw[r][c][k]) for c in range(n_critic)])
                      for r in range(n_rounds)]
                 )  # [R, n_critic, B, ...]
-                x = jnp.asarray(arr)
                 if spec is not None:
-                    x = jax.device_put(x, spec)
+                    from twingan_tpu.parallel.multihost import make_global_array
+
+                    if jax.process_count() > 1:
+                        # Batch axis is dim 2 here; every process holds the
+                        # global stack, so the replicated leading dims make
+                        # the whole local shard derivable — but
+                        # local_batch_slice targets dim 0, so slice dim 2
+                        # explicitly.
+                        from twingan_tpu.parallel.multihost import local_batch_slice
+
+                        x = jax.make_array_from_process_local_data(
+                            spec, arr[:, :, local_batch_slice(arr.shape[2])]
+                        )
+                    else:
+                        x = jax.device_put(arr, spec)
+                else:
+                    x = jnp.asarray(arr)
                 if k in ("source", "target"):
                     aug_key, sub = jax.random.split(aug_key)
                     flat = x.reshape((-1,) + x.shape[3:])
@@ -406,7 +461,7 @@ class StageRunner:
                     if spec is not None:
                         x = jax.device_put(x, spec)
                 stacked[k] = x
-            if not fixed_batch and cfg.log_image_every_n_iter:
+            if not fixed_batch and cfg.log_image_every_n_iter and jax.process_count() == 1:
                 fixed_batch.update(
                     {k: np.asarray(v[0, 0], np.float32) for k, v in stacked.items()}
                 )
@@ -458,6 +513,7 @@ class StageRunner:
                             f"[stage {tag}] non-finite loss at step {cur}; "
                             f"recovery budget exhausted"
                         )
+                    self._barrier(f"nan_recovery_{tag}_{nan_recoveries}")
                     fresh = trainer.init_state(jax.random.PRNGKey(cfg.seed + nan_recoveries))
                     restored = cm.restore(fresh)
                     state = self._replicate(restored if restored is not None else fresh)
@@ -483,10 +539,12 @@ class StageRunner:
                     print(f"[stage {tag}] step {cur}/{steps} "
                           f"g={g:.4f} d={d:.4f} {rate:.2f} rounds/s")
                 if cur % cfg.save_every_n_steps == 0 and cur > start_step:
-                    cm.save(cur, state, keep=cfg.keep_checkpoints)
-                if cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0:
+                    self._save(cm, cur, state)
+                if (cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0
+                        and self.is_coordinator):
                     self._dump_samples(trainer, state, stage_dir, cur, fixed_batch)
-            cm.save(int(state.step), state, keep=cfg.keep_checkpoints)
+            self._save(cm, int(state.step), state)
+            self._barrier(f"stage_end_{tag}")
         finally:
             close_data()
             writer.close()
