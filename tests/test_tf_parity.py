@@ -90,6 +90,17 @@ class TestConvParity:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_local_response_norm_matches_tf(self):
+        # The reference cifarnet's exact lrn parameters (nets/cifarnet.py:68).
+        x = _rand(2, 8, 8, 64, seed=11, lo=-2, hi=2)
+        np.testing.assert_allclose(
+            np.asarray(ops.local_response_norm(
+                jnp.asarray(x), 4, bias=1.0, alpha=0.001 / 9.0, beta=0.75)),
+            tf.nn.local_response_normalization(
+                tf.constant(x), 4, bias=1.0, alpha=0.001 / 9.0, beta=0.75).numpy(),
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_resize_bilinear_matches_tf(self):
         x = _rand(2, 7, 7, 3, seed=9)
         ours = ops.resize_bilinear(jnp.asarray(x), 16, 16)

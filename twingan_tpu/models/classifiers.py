@@ -73,19 +73,26 @@ class LeNet(nn.Module):
 
 
 class CifarNet(nn.Module):
-    """reference nets/cifarnet.py: 2 conv+pool+lrn(approximated by BN), fc384, fc192."""
+    """reference nets/cifarnet.py: 2x (conv+pool/lrn) with tf.nn.lrn
+    parameters (r=4, bias=1, alpha=0.001/9, beta=0.75; :68,71), fc384,
+    fc192."""
 
     num_classes: int = 10
     default_image_size = 32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, probes=None):
+        from twingan_tpu.ops import local_response_norm
+
+        def lrn(v):
+            return local_response_norm(v, 4, bias=1.0, alpha=0.001 / 9.0, beta=0.75)
+
         eps: Dict[str, Any] = {}
         x = jax.nn.relu(nn.Conv(64, (5, 5), name="conv1")(x))
         x = _max_pool(x, 2, 2)
-        x = _BN(name="norm1")(x, train)
+        x = lrn(x)
         x = _ep(eps, probes, "conv2", jax.nn.relu(nn.Conv(64, (5, 5), name="conv2")(x)))
-        x = _BN(name="norm2")(x, train)
+        x = lrn(x)
         x = _max_pool(x, 2, 2)
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(nn.Dense(384, name="fc3")(x))

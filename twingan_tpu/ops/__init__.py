@@ -20,6 +20,7 @@ from twingan_tpu.ops.basic import (
     minibatch_stddev,
     gdrop,
     equalized_lr_scale,
+    local_response_norm,
     blend,
     num_channels,
     resize_bilinear,

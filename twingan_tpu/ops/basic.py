@@ -107,6 +107,30 @@ def gdrop(
     return x * (rnd * coef + jnp.asarray(1, x.dtype))
 
 
+def local_response_norm(
+    x: jax.Array,
+    depth_radius: int = 5,
+    bias: float = 1.0,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+) -> jax.Array:
+    """tf.nn.lrn semantics over the channel (last) axis of NHWC input:
+    out_i = x_i / (bias + alpha * sum_{j in [i-r, i+r]} x_j^2) ** beta
+    (reference nets/cifarnet.py:68,71 uses r=4, alpha=0.001/9, beta=0.75)."""
+    sq = jnp.square(x)
+    padded = jnp.pad(
+        sq, [(0, 0)] * (x.ndim - 1) + [(depth_radius, depth_radius)]
+    )
+    csum = jnp.cumsum(padded, axis=-1)
+    csum = jnp.pad(csum, [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+    window = 2 * depth_radius + 1
+    # windowed sum over channels via cumsum difference
+    sums = lax.slice_in_dim(csum, window, csum.shape[-1], axis=-1) - lax.slice_in_dim(
+        csum, 0, csum.shape[-1] - window, axis=-1
+    )
+    return x / jnp.power(bias + alpha * sums, beta)
+
+
 def blend(new: jax.Array, old: jax.Array, alpha: jax.Array | float) -> jax.Array:
     """Fade-in blend used during PGGAN growth: new*alpha + (1-alpha)*old."""
     alpha = jnp.asarray(alpha, new.dtype)
