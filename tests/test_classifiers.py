@@ -257,6 +257,40 @@ class TestNASNet:
         assert logits.shape == (1, 3)
         assert "stack_2" in eps
 
+    def test_aux_head_and_drop_path(self):
+        # Small stack with aux head (input large enough for the 5x5/3 pool)
+        # and active drop-path: train mode needs the 'drop_path' rng and
+        # must remain stochastic across rng folds; eval is deterministic.
+        from twingan_tpu.models.nasnet import NASNet
+
+        model = NASNet(num_classes=3, num_cells=3, initial_filters=8,
+                       stem_filters=8, drop_path_keep_prob=0.6)
+        x = jnp.ones((2, 128, 128, 3))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "drop_path": jax.random.PRNGKey(1)},
+            x, train=True,
+        )
+        (logits, eps), _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"drop_path": jax.random.PRNGKey(2)},
+        )
+        assert "AuxLogits" in eps and eps["AuxLogits"].shape == (2, 3)
+        (logits2, _), _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"drop_path": jax.random.PRNGKey(3)},
+        )
+        assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+        # progress=0 disables the time-ramped drop entirely: deterministic.
+        (a, _), _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], progress=0.0,
+            rngs={"drop_path": jax.random.PRNGKey(4)},
+        )
+        (b, _), _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], progress=0.0,
+            rngs={"drop_path": jax.random.PRNGKey(5)},
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_every_reference_net_is_ported(self):
         assert PLANNED == ()
         assert len(NETWORKS) >= 19

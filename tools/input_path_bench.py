@@ -56,9 +56,16 @@ def run_once(work: str, use_synthetic: bool, steps: int, batch: int,
         seed=0,
     )
     t0 = time.time()
-    summary = StageRunner(cfg).run()
+    runner = StageRunner(cfg)
+    summary = runner.run()
     info = summary["32"]
     info["total_wall_sec"] = round(time.time() - t0, 1)
+    # Steady-state rate: the last logged window (excludes jit compile and,
+    # for real data, the one-time first-epoch decode that fills the uint8
+    # sample cache).
+    rates = [r["rounds_per_sec"] for r in runner.metrics_log
+             if r.get("stage") == "32"]
+    info["steady_rounds_per_sec"] = rates[-1] if rates else info["rounds_per_sec"]
     return info
 
 
@@ -83,11 +90,16 @@ def main(argv=None):
     real = run_once(args.work, False, args.steps, args.batch, dom)
     synth = run_once(args.work, True, args.steps, args.batch, dom)
     ratio = synth["rounds_per_sec"] / max(real["rounds_per_sec"], 1e-9)
+    steady_ratio = synth["steady_rounds_per_sec"] / max(
+        real["steady_rounds_per_sec"], 1e-9)
     print(json.dumps({
         "config": f"twingan_32px_b{args.batch}_dragan_unet_scan25",
         "real_tfrecord_rounds_per_sec": real["rounds_per_sec"],
         "synthetic_rounds_per_sec": synth["rounds_per_sec"],
         "synthetic_over_real": round(ratio, 2),
+        "real_steady_rounds_per_sec": real["steady_rounds_per_sec"],
+        "synthetic_steady_rounds_per_sec": synth["steady_rounds_per_sec"],
+        "synthetic_over_real_steady": round(steady_ratio, 2),
     }))
 
 

@@ -5,8 +5,12 @@ NASNet-A cell structure (five branch-pairs of separable convs / pools over
 the current and previous cell outputs, concatenated), the factorized
 reduction for skip-shape matching, the stem, and the mobile/large stack
 shapes (num_cells=12/18, penultimate filters 1056/4032) follow the
-reference; slim's drop-path and auxiliary head are omitted (neither is used
-by the reference's trainers).
+reference. Drop-path (nasnet_utils.py:401-427: per-op batchwise drop with
+keep-prob scaled by layer ratio and training progress) and the auxiliary
+head (nasnet.py:219-240: avgpool5x5/3 -> 1x1x128 -> bn -> relu -> conv768
+-> bn -> relu -> fc, consumed at weight 0.4 by train_image_classifier.py:
+115-116) are implemented; the time ramp is exposed as the ``progress``
+call argument (global_step/total_steps in the reference).
 """
 
 from __future__ import annotations
@@ -16,6 +20,16 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def _drop_path(module: nn.Module, x: jax.Array, keep_prob) -> jax.Array:
+    """nasnet_utils.drop_path: drop a whole sample's branch with prob
+    1-keep_prob, rescaling survivors by 1/keep_prob."""
+    rng = module.make_rng("drop_path")
+    mask = jnp.floor(
+        keep_prob + jax.random.uniform(rng, (x.shape[0], 1, 1, 1), x.dtype)
+    )
+    return x / keep_prob * mask
 
 
 class _SepConv(nn.Module):
@@ -63,34 +77,62 @@ def _fit(prev, cur_hw, features, train, name_parent, idx=0):
 
 class _NormalCell(nn.Module):
     features: int
+    keep_prob: float = 1.0  # already layer/progress-adjusted by the parent
 
     @nn.compact
     def __call__(self, h, h_prev, train: bool):
         f = self.features
+        dp = (lambda v: _drop_path(self, v, self.keep_prob)) \
+            if (train and self.keep_prob < 1.0) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
-        y1 = _SepConv(f, 3, name="s1a")(h1, train) + h1
-        y2 = _SepConv(f, 3, name="s2a")(h0, train) + _SepConv(f, 5, name="s2b")(h1, train)
-        y3 = nn.avg_pool(h1, (3, 3), (1, 1), "SAME") + h0
-        y4 = nn.avg_pool(h0, (3, 3), (1, 1), "SAME") + nn.avg_pool(h0, (3, 3), (1, 1), "SAME")
-        y5 = _SepConv(f, 5, name="s5a")(h0, train) + _SepConv(f, 3, name="s5b")(h0, train)
+        y1 = dp(_SepConv(f, 3, name="s1a")(h1, train)) + h1
+        y2 = dp(_SepConv(f, 3, name="s2a")(h0, train)) + dp(_SepConv(f, 5, name="s2b")(h1, train))
+        y3 = dp(nn.avg_pool(h1, (3, 3), (1, 1), "SAME")) + h0
+        y4 = dp(nn.avg_pool(h0, (3, 3), (1, 1), "SAME")) + dp(nn.avg_pool(h0, (3, 3), (1, 1), "SAME"))
+        y5 = dp(_SepConv(f, 5, name="s5a")(h0, train)) + dp(_SepConv(f, 3, name="s5b")(h0, train))
         return jnp.concatenate([y1, y2, y3, y4, y5], axis=-1)
 
 
 class _ReductionCell(nn.Module):
     features: int
+    keep_prob: float = 1.0
 
     @nn.compact
     def __call__(self, h, h_prev, train: bool):
         f = self.features
+        dp = (lambda v: _drop_path(self, v, self.keep_prob)) \
+            if (train and self.keep_prob < 1.0) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
-        z1 = _SepConv(f, 7, 2, name="r1a")(h0, train) + _SepConv(f, 5, 2, name="r1b")(h1, train)
-        z2 = nn.max_pool(h1, (3, 3), (2, 2), "SAME") + _SepConv(f, 7, 2, name="r2b")(h0, train)
-        z3 = nn.avg_pool(h1, (3, 3), (2, 2), "SAME") + _SepConv(f, 5, 2, name="r3b")(h0, train)
-        z4 = nn.max_pool(h1, (3, 3), (2, 2), "SAME") + _SepConv(f, 3, name="r4b")(z1, train)
-        z5 = nn.avg_pool(z1, (3, 3), (1, 1), "SAME") + z2
+        z1 = dp(_SepConv(f, 7, 2, name="r1a")(h0, train)) + dp(_SepConv(f, 5, 2, name="r1b")(h1, train))
+        z2 = dp(nn.max_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 7, 2, name="r2b")(h0, train))
+        z3 = dp(nn.avg_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 5, 2, name="r3b")(h0, train))
+        z4 = dp(nn.max_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 3, name="r4b")(z1, train))
+        z5 = dp(nn.avg_pool(z1, (3, 3), (1, 1), "SAME")) + z2
         return jnp.concatenate([z2, z3, z4, z5], axis=-1)
+
+
+class _AuxHead(nn.Module):
+    """reference nasnet.py:219-240 auxiliary classifier head."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = jax.nn.relu(x)
+        x = nn.avg_pool(x, (5, 5), (3, 3), "VALID")
+        x = jax.nn.relu(nn.Conv(128, (1, 1), name="proj")(x))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+                         epsilon=0.001, name="aux_bn0")(x)
+        x = jax.nn.relu(x)
+        hw = (x.shape[1], x.shape[2])
+        x = nn.Conv(768, hw, padding="VALID", name="conv768")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+                         epsilon=0.001, name="aux_bn1")(x)
+        x = jax.nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.num_classes, name="fc")(x)
 
 
 class NASNet(nn.Module):
@@ -100,10 +142,24 @@ class NASNet(nn.Module):
     num_cells: int = 12          # mobile: 12; large: 18
     initial_filters: int = 44    # mobile: 44; large: 168
     stem_filters: int = 32       # mobile: 32; large: 96
+    drop_path_keep_prob: float = 1.0  # mobile train: 0.6; large train: 0.7
+    use_aux_head: bool = True
     default_image_size = 224
 
+    def _cell_keep_prob(self, cell_idx: int, progress: float) -> float:
+        """Layer-ratio + training-progress schedule
+        (nasnet_utils.py:401-427)."""
+        base = self.drop_path_keep_prob
+        if base >= 1.0:
+            return 1.0
+        total = self.num_cells + 2  # + the two mid-stack reduction cells
+        layer_ratio = (cell_idx + 1) / total
+        kp = 1.0 - layer_ratio * (1.0 - base)
+        return 1.0 - min(max(progress, 0.0), 1.0) * (1.0 - kp)
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False, probes=None):
+    def __call__(self, x, *, train: bool = False, probes=None,
+                 progress: float = 1.0):
         eps: Dict[str, jax.Array] = {}
         x = nn.Conv(self.stem_filters, (3, 3), strides=(2, 2), use_bias=False,
                     name="stem_conv")(x)
@@ -119,13 +175,23 @@ class NASNet(nn.Module):
         cell_id = 0
         for stack in range(3):
             for _ in range(per_stack):
-                nxt = _NormalCell(f, name=f"cell_{cell_id}")(cur, prev, train)
+                kp = self._cell_keep_prob(cell_id, progress)
+                nxt = _NormalCell(f, keep_prob=kp, name=f"cell_{cell_id}")(cur, prev, train)
                 prev, cur = cur, nxt
                 cell_id += 1
+            # Aux head hangs off the cell just before the SECOND reduction
+            # (reference aux_head_cell_idxes = reduction_indices[1] - 1,
+            # nasnet.py:452-454,491-494).
+            if (stack == 1 and self.use_aux_head and self.num_classes
+                    and cur.shape[1] >= 5):  # needs the 5x5/3 pool to fit
+                eps["AuxLogits"] = _AuxHead(
+                    self.num_classes, name="aux_head")(cur, train)
             if stack < 2:
                 f *= 2
-                nxt = _ReductionCell(f, name=f"reduction_{stack}")(cur, prev, train)
+                kp = self._cell_keep_prob(cell_id, progress)
+                nxt = _ReductionCell(f, keep_prob=kp, name=f"reduction_{stack}")(cur, prev, train)
                 prev, cur = cur, nxt
+                cell_id += 1
             if probes and f"stack_{stack}" in probes:
                 cur = cur + probes[f"stack_{stack}"]
             eps[f"stack_{stack}"] = cur

@@ -82,12 +82,19 @@ class ClassifierTrainer:
                 {"params": params, **state.model_state},
                 batch["image"], train=True,
                 mutable=list(state.model_state.keys()) or False,
+                rngs={"drop_path": jax.random.fold_in(
+                    jax.random.PRNGKey(17), state.step)},
             )
             if state.model_state:
-                (logits, _), new_model_state = out
+                (logits, eps), new_model_state = out
             else:
-                (logits, _), new_model_state = out, {}
-            return self._loss(logits, batch["labels"]), dict(new_model_state)
+                (logits, eps), new_model_state = out, {}
+            loss = self._loss(logits, batch["labels"])
+            # Auxiliary classifier loss at weight 0.4 (reference
+            # train_image_classifier.py:115-116).
+            if "AuxLogits" in eps:
+                loss = loss + 0.4 * self._loss(eps["AuxLogits"], batch["labels"])
+            return loss, dict(new_model_state)
 
         (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
