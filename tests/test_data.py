@@ -366,6 +366,55 @@ class TestPipeline:
 
 
 class TestExtraConverters:
+    def test_danbooru_tags_xml_converter(self, tmp_path):
+        from twingan_tpu.data import get_dataset
+        from twingan_tpu.data.converters import (
+            convert_danbooru_folder,
+            parse_tags_xml,
+            write_tags_vocab,
+        )
+        from twingan_tpu.data.tfrecord import TFRecordReader, list_shards
+
+        xml = tmp_path / "tags.xml"
+        xml.write_text(
+            "<tags>"
+            '<tag type="0" ambiguous="false" count="10" name="long_hair" id="1"/>'
+            '<tag type="1" ambiguous="false" count="5" name="some_author" id="2"/>'
+            '<tag type="5" ambiguous="false" count="3" name="meta_tag" id="3"/>'
+            '<tag type="4" ambiguous="true" count="7" name="blue_eyes" id="4"/>'
+            "</tags>"
+        )
+        tags, idx = parse_tags_xml(str(xml))
+        # NSFW pseudo-tags first; author/meta types excluded (reference
+        # danbooru_utils.py:55-68).
+        assert [t[3] for t in tags] == [
+            "NSFWRating_s", "NSFWRating_q", "NSFWRating_e",
+            "long_hair", "blue_eyes",
+        ]
+        assert idx["long_hair"] == 3
+        assert write_tags_vocab(str(xml), str(tmp_path / "vocab.txt")) == 5
+        assert (tmp_path / "vocab.txt").read_text().splitlines()[3] == "long_hair"
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i, rating in enumerate(("s", "q")):
+            name = f"{rating} - {i}.png"
+            PILImage.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(d / name)
+            (d / (name + ".txt")).write_text("long_hair\nunknown_tag\n")
+        # Malformed name (no ' - ') and missing sidecar are skipped.
+        PILImage.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(d / "plain.png")
+        out = str(tmp_path / "rec")
+        n = convert_danbooru_folder(str(d), str(xml), out, num_shards=1)
+        assert n == 2
+        spec = get_dataset("danbooru_2_illust2vec",
+                           vocab_file=str(tmp_path / "vocab.txt"), num_classes=5)
+        item = spec.parse(TFRecordReader(list_shards(out, "train")[0])[0])
+        hot = item["target"]  # classifier convention: labels ride 'target'
+        assert hot.shape == (5,)
+        assert hot[idx["long_hair"]] == 1.0  # vocabulary-filtered tag kept
+        assert hot[:3].sum() == 1.0          # exactly one NSFWRating pseudo-tag
+
     def test_tagged_images_converter(self, tmp_path):
         from twingan_tpu.data.converters import convert_tagged_images
         from twingan_tpu.data.tfrecord import TFRecordReader, list_shards

@@ -328,3 +328,90 @@ def convert_tagged_images(
         image_dir, out_dir, dataset_name=dataset_name, split=split,
         num_shards=num_shards, extra_features=extra,
     )
+
+
+# Danbooru tag-type codes (reference danbooru_utils.py:25-31).
+_DANBOORU_AUTHOR_TYPE = 1
+_DANBOORU_META_TYPE = 5
+_DANBOORU_GENERAL_TYPE = 0
+_DANBOORU_NSFW_RATINGS = ("s", "q", "e")
+
+
+def parse_tags_xml(tags_file: str) -> tuple[list, dict]:
+    """Danbooru tags.xml -> (tags, name->index) with the reference's exact
+    vocabulary construction (danbooru_utils.py:55-68): three NSFWRating_*
+    pseudo-tags first, then every <tag> except author/meta types, each as
+    (type, ambiguous, count, name, id)."""
+    import xml.etree.ElementTree
+
+    root = xml.etree.ElementTree.parse(tags_file).getroot()
+    tags = [
+        (_DANBOORU_GENERAL_TYPE, "false", 0, "NSFWRating_" + r, int(1e10) + i)
+        for i, r in enumerate(_DANBOORU_NSFW_RATINGS)
+    ]
+    for tag in root.findall("tag"):
+        t = int(tag.get("type"))
+        if t not in (_DANBOORU_AUTHOR_TYPE, _DANBOORU_META_TYPE):
+            tags.append((t, tag.get("ambiguous"), int(tag.get("count")),
+                         tag.get("name"), int(tag.get("id"))))
+    return tags, {t[3]: i for i, t in enumerate(tags)}
+
+
+def parse_danbooru_file_name(file_name: str) -> tuple[str, str, list]:
+    """'<rating> - <id>.<ext>' + sidecar '<file>.txt' of one tag per line ->
+    (nsfw_rating, id, tags incl. the NSFWRating_* pseudo-tag); reference
+    danbooru_utils.parse_file_name (:36-52)."""
+    base, _ = os.path.splitext(os.path.basename(file_name))
+    parts = base.split(" - ")
+    if len(parts) != 2:
+        raise ValueError(f"danbooru file name has illegal format: {file_name}")
+    nsfw_rating, image_id = parts
+    with open(file_name + ".txt", encoding="utf-8") as f:
+        tags = [line.rstrip("\n") for line in f]
+    tags.append("NSFWRating_" + nsfw_rating)
+    return nsfw_rating, image_id, tags
+
+
+def convert_danbooru_folder(
+    image_dir: str,
+    tags_xml: str,
+    out_dir: str,
+    dataset_name: str = "danbooru_2_illust2vec",
+    split: str = "train",
+    num_shards: int = 4,
+) -> int:
+    """Danbooru dump ('<rating> - <id>.jpg' + per-image .txt tag sidecars +
+    tags.xml vocabulary) -> tagged records, keeping only tags present in the
+    vocabulary (reference convert_danbooru_data.py:141-170). The vocabulary
+    order doubles as the label index space (write it with
+    write_tags_vocab)."""
+    from twingan_tpu.data.example import encode_example  # noqa: F401 - parity with sibling converters
+
+    _, name_to_index = parse_tags_xml(tags_xml)
+
+    def extra(filename: str) -> Optional[dict]:
+        path = os.path.join(image_dir, filename)
+        try:
+            _, _, tags = parse_danbooru_file_name(path)
+        except (ValueError, OSError):
+            return None  # reference skips malformed entries
+        kept = [t for t in tags if t in name_to_index]
+        if not kept:
+            return None
+        return {"image/class/text": ",".join(kept).encode()}
+
+    return convert_image_folder(
+        image_dir, out_dir, dataset_name=dataset_name, split=split,
+        num_shards=num_shards, extra_features=extra,
+    )
+
+
+def write_tags_vocab(tags_xml: str, out_file: str) -> int:
+    """Write the tags.xml vocabulary as the one-label-per-line file the
+    runner's vocab_file option consumes (reference labels.txt files,
+    datasets/dataset_utils.py:113-162)."""
+    tags, _ = parse_tags_xml(tags_xml)
+    with open(out_file, "w", encoding="utf-8") as f:
+        for t in tags:
+            f.write(t[3] + "\n")
+    return len(tags)
