@@ -88,13 +88,26 @@ def _rect_sums(ii: np.ndarray, ys: np.ndarray, xs: np.ndarray, rects: np.ndarray
     """Sum of each window-relative rect for every window.
 
     ys/xs: [W] window origins; rects: [K, 4] ints (x, y, w, h).
-    Returns [W, K].
+    Returns [W, K]. Flat-index formulation: every corner of a
+    window-relative rect is origin_flat + constant_offset, so the four
+    gathers are 1-D takes at [W,1]+[1,K] broadcast sums — measurably
+    faster than 2-D fancy indexing (the serving hot spot; the cascade
+    evaluates ~10^6 rect sums per image).
     """
-    x0 = xs[:, None] + rects[None, :, 0]
-    y0 = ys[:, None] + rects[None, :, 1]
-    x1 = x0 + rects[None, :, 2]
-    y1 = y0 + rects[None, :, 3]
-    return ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    stride = ii.shape[1]
+    flat = ii.ravel()
+    base = ys.astype(np.int64) * stride + xs.astype(np.int64)  # [W]
+    x0 = rects[:, 0].astype(np.int64)
+    y0 = rects[:, 1].astype(np.int64)
+    x1 = x0 + rects[:, 2]
+    y1 = y0 + rects[:, 3]
+    b = base[:, None]
+    return (
+        flat[b + (y1 * stride + x1)[None, :]]
+        - flat[b + (y0 * stride + x1)[None, :]]
+        - flat[b + (y1 * stride + x0)[None, :]]
+        + flat[b + (y0 * stride + x0)[None, :]]
+    )
 
 
 def _detect_single_scale(cascade: HaarCascade, gray: np.ndarray, step: int) -> np.ndarray:
@@ -122,15 +135,14 @@ def _detect_single_scale(cascade: HaarCascade, gray: np.ndarray, step: int) -> n
             break
         ya, xa = ys[alive], xs[alive]
         rects = cascade.rects[f_idx]  # [S, 3, 5]
-        # [W, S] weighted rect sums.
-        vals = np.zeros((len(alive), len(f_idx)))
-        for r in range(3):
-            rect = rects[:, r, :4].astype(np.int32)  # [S, 4]
-            weight = rects[:, r, 4]
-            nz = weight != 0
-            if not nz.any():
-                continue
-            vals[:, nz] += weight[nz] * _rect_sums(ii, ya, xa, rect[nz])
+        # [W, S] weighted rect sums: all three rect slots of every stump in
+        # ONE gather (zero-weight slots contribute nothing; their rects are
+        # in-bounds zeros from the parser padding).
+        s = len(f_idx)
+        flat_rects = rects[:, :, :4].reshape(s * 3, 4).astype(np.int32)
+        weights = rects[:, :, 4].reshape(s * 3)
+        sums3 = _rect_sums(ii, ya, xa, flat_rects)  # [W, S*3]
+        vals = (sums3 * weights[None, :]).reshape(len(alive), s, 3).sum(axis=2)
         vals *= inv_area
         chosen = np.where(
             vals < s_thresh[None, :] * var_norm[alive][:, None],
