@@ -49,8 +49,16 @@ def _run_workers(n_proc: int, port: int, train_dir: str):
     return results
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_round_matches_single_process(tmp_path):
-    ra, rb = _run_workers(n_proc=2, port=29517, train_dir=str(tmp_path / "mh"))
+    ra, rb = _run_workers(n_proc=2, port=_free_port(), train_dir=str(tmp_path / "mh"))
     a, b = ra["METRICS"], rb["METRICS"]
     assert a["step"] == b["step"] == 1
     for k in a:

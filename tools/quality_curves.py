@@ -173,10 +173,13 @@ def main(argv=None):
         seed=args.seed,
         max_stages_per_run=1 if args.isolate_stages else 0,
     )
+    # Cumulative training wall-clock across isolated per-stage subprocesses;
+    # a FRESH run (no train dir yet) must not inherit a previous run's total.
+    wall_path = os.path.join(args.work, "train_wall.json")
+    if not os.path.isdir(run_cfg.train_dir) and os.path.exists(wall_path):
+        os.remove(wall_path)
     runner = StageRunner(run_cfg)
     summary = runner.run()
-    # Cumulative training wall-clock across isolated per-stage subprocesses.
-    wall_path = os.path.join(args.work, "train_wall.json")
     prior = 0.0
     if os.path.exists(wall_path):
         with open(wall_path) as f:

@@ -385,8 +385,6 @@ def convert_danbooru_folder(
     vocabulary (reference convert_danbooru_data.py:141-170). The vocabulary
     order doubles as the label index space (write it with
     write_tags_vocab)."""
-    from twingan_tpu.data.example import encode_example  # noqa: F401 - parity with sibling converters
-
     _, name_to_index = parse_tags_xml(tags_xml)
 
     def extra(filename: str) -> Optional[dict]:

@@ -339,10 +339,11 @@ NETWORKS: Dict[str, Callable[..., nn.Module]] = {
     "inception_v4": lambda **kw: _inception("InceptionV4")(**kw),
     "inception_resnet_v2": lambda **kw: _inception("InceptionResNetV2")(**kw),
     "overfeat": OverFeat,
-    # drop_path_keep_prob per reference hparams (nasnet.py:39,69); applied
-    # only when called with train=True (+ an rng for 'drop_path').
+    # drop_path_keep_prob per reference hparams: mobile ImageNet trains
+    # WITHOUT drop path (nasnet.py:98 keep_prob=1.0); large uses 0.7
+    # (:69); the cifar config's 0.6 (:39) has no named factory entry.
     "nasnet_mobile": lambda **kw: _nasnet(num_cells=12, initial_filters=44,
-                                          stem_filters=32, drop_path_keep_prob=0.6, **kw),
+                                          stem_filters=32, drop_path_keep_prob=1.0, **kw),
     "nasnet_large": lambda **kw: _nasnet(num_cells=18, initial_filters=168,
                                          stem_filters=96, drop_path_keep_prob=0.7, **kw),
     "resnet_v2_layernorm": functools.partial(ResNet, blocks=(3, 4, 6, 3), preact=True, norm="layer"),

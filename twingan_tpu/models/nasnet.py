@@ -77,13 +77,15 @@ def _fit(prev, cur_hw, features, train, name_parent, idx=0):
 
 class _NormalCell(nn.Module):
     features: int
-    keep_prob: float = 1.0  # already layer/progress-adjusted by the parent
+    use_drop_path: bool = False  # static gate (base keep_prob < 1 and train)
 
     @nn.compact
-    def __call__(self, h, h_prev, train: bool):
+    def __call__(self, h, h_prev, train: bool, keep_prob=1.0):
+        # keep_prob is layer/progress-adjusted by the parent and may be a
+        # traced scalar (progress = step/total inside jit).
         f = self.features
-        dp = (lambda v: _drop_path(self, v, self.keep_prob)) \
-            if (train and self.keep_prob < 1.0) else (lambda v: v)
+        dp = (lambda v: _drop_path(self, v, keep_prob)) \
+            if (train and self.use_drop_path) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
         y1 = dp(_SepConv(f, 3, name="s1a")(h1, train)) + h1
@@ -96,13 +98,13 @@ class _NormalCell(nn.Module):
 
 class _ReductionCell(nn.Module):
     features: int
-    keep_prob: float = 1.0
+    use_drop_path: bool = False
 
     @nn.compact
-    def __call__(self, h, h_prev, train: bool):
+    def __call__(self, h, h_prev, train: bool, keep_prob=1.0):
         f = self.features
-        dp = (lambda v: _drop_path(self, v, self.keep_prob)) \
-            if (train and self.keep_prob < 1.0) else (lambda v: v)
+        dp = (lambda v: _drop_path(self, v, keep_prob)) \
+            if (train and self.use_drop_path) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
         z1 = dp(_SepConv(f, 7, 2, name="r1a")(h0, train)) + dp(_SepConv(f, 5, 2, name="r1b")(h1, train))
@@ -114,7 +116,9 @@ class _ReductionCell(nn.Module):
 
 
 class _AuxHead(nn.Module):
-    """reference nasnet.py:219-240 auxiliary classifier head."""
+    """reference nasnet.py:219-240 auxiliary classifier head. Convs are
+    linear and bias-free with relu only AFTER batch norm (the nasnet
+    arg_scope, nasnet.py:142-144)."""
 
     num_classes: int
 
@@ -122,12 +126,12 @@ class _AuxHead(nn.Module):
     def __call__(self, x, train: bool):
         x = jax.nn.relu(x)
         x = nn.avg_pool(x, (5, 5), (3, 3), "VALID")
-        x = jax.nn.relu(nn.Conv(128, (1, 1), name="proj")(x))
+        x = nn.Conv(128, (1, 1), use_bias=False, name="proj")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
                          epsilon=0.001, name="aux_bn0")(x)
         x = jax.nn.relu(x)
         hw = (x.shape[1], x.shape[2])
-        x = nn.Conv(768, hw, padding="VALID", name="conv768")(x)
+        x = nn.Conv(768, hw, padding="VALID", use_bias=False, name="conv768")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
                          epsilon=0.001, name="aux_bn1")(x)
         x = jax.nn.relu(x)
@@ -146,16 +150,17 @@ class NASNet(nn.Module):
     use_aux_head: bool = True
     default_image_size = 224
 
-    def _cell_keep_prob(self, cell_idx: int, progress: float) -> float:
-        """Layer-ratio + training-progress schedule
-        (nasnet_utils.py:401-427)."""
+    def _cell_keep_prob(self, cell_idx: int, progress):
+        """Layer-ratio + training-progress schedule (nasnet_utils.py:
+        401-427). ``progress`` = global_step / total_training_steps and may
+        be a traced scalar; returns a (possibly traced) keep probability."""
         base = self.drop_path_keep_prob
         if base >= 1.0:
             return 1.0
         total = self.num_cells + 2  # + the two mid-stack reduction cells
         layer_ratio = (cell_idx + 1) / total
         kp = 1.0 - layer_ratio * (1.0 - base)
-        return 1.0 - min(max(progress, 0.0), 1.0) * (1.0 - kp)
+        return 1.0 - jnp.clip(progress, 0.0, 1.0) * (1.0 - kp)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, probes=None,
@@ -172,11 +177,13 @@ class NASNet(nn.Module):
             nxt = _ReductionCell(f // (2 ** (1 - i)), name=f"stem_cell{i}")(cur, prev, train)
             prev, cur = cur, nxt
         per_stack = self.num_cells // 3
+        use_dp = self.drop_path_keep_prob < 1.0
         cell_id = 0
         for stack in range(3):
             for _ in range(per_stack):
-                kp = self._cell_keep_prob(cell_id, progress)
-                nxt = _NormalCell(f, keep_prob=kp, name=f"cell_{cell_id}")(cur, prev, train)
+                nxt = _NormalCell(f, use_drop_path=use_dp, name=f"cell_{cell_id}")(
+                    cur, prev, train,
+                    keep_prob=self._cell_keep_prob(cell_id, progress))
                 prev, cur = cur, nxt
                 cell_id += 1
             # Aux head hangs off the cell just before the SECOND reduction
@@ -188,8 +195,9 @@ class NASNet(nn.Module):
                     self.num_classes, name="aux_head")(cur, train)
             if stack < 2:
                 f *= 2
-                kp = self._cell_keep_prob(cell_id, progress)
-                nxt = _ReductionCell(f, keep_prob=kp, name=f"reduction_{stack}")(cur, prev, train)
+                nxt = _ReductionCell(f, use_drop_path=use_dp, name=f"reduction_{stack}")(
+                    cur, prev, train,
+                    keep_prob=self._cell_keep_prob(cell_id, progress))
                 prev, cur = cur, nxt
                 cell_id += 1
             if probes and f"stack_{stack}" in probes:

@@ -50,17 +50,10 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     device_put. Multi-process (mesh spans hosts): each process contributes
     its local_batch_slice rows via make_array_from_process_local_data —
     device_put cannot target non-addressable devices."""
-    multi = jax.process_count() > 1
-
-    def put(x):
-        sharding = data_sharding(mesh, np.ndim(x), axis)
-        if multi:
-            from twingan_tpu.parallel.multihost import make_global_array
-
-            return make_global_array(x, sharding)
-        return jax.device_put(x, sharding)
-
-    return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map(
+        lambda x: put_with_sharding(x, data_sharding(mesh, np.ndim(x), axis)),
+        batch,
+    )
 
 
 def put_with_sharding(x: Any, sharding: NamedSharding) -> jax.Array:
@@ -78,10 +71,6 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate every leaf across the mesh (all hosts must pass the
     same values — e.g. state initialized from the same PRNG seed)."""
     sharding = replicated_sharding(mesh)
-    if jax.process_count() > 1:
-        from twingan_tpu.parallel.multihost import make_global_array
-
-        return jax.tree_util.tree_map(
-            lambda x: make_global_array(x, sharding), tree
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: put_with_sharding(x, sharding), tree
+    )

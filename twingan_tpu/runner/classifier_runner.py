@@ -119,6 +119,8 @@ def main(argv=None):
             image_hw=args.train_image_size or 64,
             batch_size=args.batch_size,
             label_smoothing=args.label_smoothing,
+            seed=args.seed,
+            total_steps=args.max_number_of_steps,
             opt=OptimizerConfig(optimizer=args.optimizer, learning_rate=args.learning_rate),
         )
     trainer = ClassifierTrainer(cfg)

@@ -34,6 +34,11 @@ class ClassifierConfig:
     image_hw: int = 224
     batch_size: int = 32
     label_smoothing: float = 0.0
+    seed: int = 0
+    # Drop-path time-ramp horizon (reference total_training_steps,
+    # nasnet.py:91): progress = step / total_steps ramps stochastic-depth
+    # strength from 0 to the network's configured terminal value.
+    total_steps: int = 250000
     opt: OptimizerConfig = dataclasses.field(
         default_factory=lambda: OptimizerConfig(optimizer="rmsprop", learning_rate=0.01,
                                                 learning_rate_decay_type="exponential")
@@ -50,9 +55,15 @@ class ClassifierState:
 
 class ClassifierTrainer:
     def __init__(self, cfg: ClassifierConfig):
+        import inspect
+
         self.cfg = cfg
         self.model = get_network_fn(cfg.network, cfg.num_classes)
         self.tx = build_optimizer(cfg.opt)
+        # Only nasnet takes the drop-path progress argument.
+        self._takes_progress = "progress" in inspect.signature(
+            type(self.model).__call__
+        ).parameters
 
     def init_state(self, rng: jax.Array) -> ClassifierState:
         cfg = self.cfg
@@ -78,12 +89,19 @@ class ClassifierTrainer:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: ClassifierState, batch: Dict[str, jax.Array]):
         def loss_fn(params):
+            kw = {}
+            if self._takes_progress:
+                # Reference drop-path time ramp: step / total_training_steps
+                # (nasnet_utils.py:413-421).
+                kw["progress"] = state.step.astype(jnp.float32) / max(
+                    self.cfg.total_steps, 1)
             out = self.model.apply(
                 {"params": params, **state.model_state},
                 batch["image"], train=True,
                 mutable=list(state.model_state.keys()) or False,
                 rngs={"drop_path": jax.random.fold_in(
-                    jax.random.PRNGKey(17), state.step)},
+                    jax.random.PRNGKey(self.cfg.seed), state.step)},
+                **kw,
             )
             if state.model_state:
                 (logits, eps), new_model_state = out
