@@ -6,6 +6,11 @@ Modes (--mode):
 - swd         sliced Wasserstein protocol on real vs translated images
 - msssim      MS-SSIM between source-translated and target sets (and the
               identity-fidelity gate: translate(s) vs s cycle quality)
+- fid         Fréchet distance on inception pool features, real vs
+              translated (random-init features offline: relative metric)
+- inception_score  reference do_custom_eval IS protocol
+              (image_generation.py:818-861); --classifier_path supplies
+              real logits from a trained classifier
 - eval_debug  HTML gallery of sources / translations / cycles
 - output      embedding CSV dump (encoded content per image)
 
@@ -55,8 +60,13 @@ def build_batches(args, hw: int):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", required=True,
-                   choices=["loss", "swd", "msssim", "fid", "eval_debug", "output"])
+                   choices=["loss", "swd", "msssim", "fid", "inception_score",
+                            "eval_debug", "output"])
     p.add_argument("--model_path", required=True)
+    p.add_argument("--classifier_path", default="",
+                   help="trained ClassifierTrainer dir supplying real logits "
+                        "for --mode=inception_score (default: random-init "
+                        "InceptionV3, relative metric)")
     p.add_argument("--eval_dir", default="/tmp/twingan_eval")
     p.add_argument("--dataset_name", default="image_only")
     p.add_argument("--dataset_dir", default="")
@@ -142,6 +152,56 @@ def main(argv=None) -> None:
         with open(out, "w") as f:
             f.write(f"fid\t{score:.6f}\t{n} images\n")
         print(f"FID (random-feature inception, relative metric): {score:.4f} over {n} images")
+        print("written:", out)
+
+    elif args.mode == "inception_score":
+        # Reference do_custom_eval IS protocol (image_generation.py:818-861):
+        # softmax logits over translated images, 10-split exp-KL. Without
+        # fetchable pretrained weights the logits net is deterministically
+        # random-init — a relative metric, like --mode=fid; point
+        # --classifier_path at a ClassifierTrainer checkpoint for real
+        # logits.
+        from twingan_tpu.evals.metrics import inception_score
+
+        if args.classifier_path:
+            from twingan_tpu.runner.classifier_runner import load_trained_classifier
+
+            trainer, state = load_trained_classifier(args.classifier_path)
+
+            def logits_fn(images):
+                logits, _ = trainer.model.apply(
+                    {"params": state.params, **state.model_state},
+                    images, train=False)
+                return logits
+        else:
+            # Random-init logits at the deep head collapse to a constant
+            # (IS degenerates to exactly 1.0); use the same non-collapsing
+            # Mixed_5b pooled features as FID, through a fixed random
+            # linear head — a relative diversity measure.
+            from twingan_tpu.evals.metrics import inception_pool_features_fn
+
+            feats = inception_pool_features_fn(image_hw=hw, seed=args.seed)
+            key = jax.random.PRNGKey(args.seed + 1)
+
+            @jax.jit
+            def logits_fn(images):
+                f = feats(images)
+                w = jax.random.normal(key, (f.shape[-1], 1000)) / jnp.sqrt(
+                    jnp.float32(f.shape[-1]))
+                return (f / (jnp.std(f) + 1e-6)) @ w
+
+        fakes, n = [], 0
+        for batch in batches:
+            fakes.append(translate(batch["source"]))
+            n += len(fakes[-1])
+            if n >= args.num_images:
+                break
+        mean, std = inception_score(logits_fn, fakes)
+        out = os.path.join(args.eval_dir, "inception_score.txt")
+        with open(out, "w") as f:
+            f.write(f"inception_score\t{mean:.6f}\t{std:.6f}\t{n} images\n")
+        print(f"inception score: {mean:.4f} +/- {std:.4f} over {n} images"
+              + ("" if args.classifier_path else " (random-init logits; relative)"))
         print("written:", out)
 
     elif args.mode == "eval_debug":

@@ -94,23 +94,38 @@ def make_batches(args, cfg: ClassifierConfig, training: bool):
             yield {"image": imgs, "labels": jnp.asarray(labels)}
 
 
+def load_config_snapshot(train_dir: str) -> ClassifierConfig:
+    """Rebuild the exact trained config from a train dir's config.json
+    (esp. the optimizer, whose state shape must match the checkpoint)."""
+    import dataclasses
+    import json
+
+    data = json.load(open(os.path.join(train_dir, "config.json")))
+    opt = OptimizerConfig(**{k: v for k, v in data.pop("opt").items()
+                             if k in {f.name for f in dataclasses.fields(OptimizerConfig)}})
+    return ClassifierConfig(
+        **{k: v for k, v in data.items()
+           if k in {f.name for f in dataclasses.fields(ClassifierConfig)} and k != "opt"},
+        opt=opt,
+    )
+
+
+def load_trained_classifier(train_dir: str):
+    """(trainer, restored state) from a ClassifierTrainer train dir."""
+    cfg = load_config_snapshot(train_dir)
+    trainer = ClassifierTrainer(cfg)
+    state = CheckpointManager(train_dir).restore(
+        trainer.init_state(jax.random.PRNGKey(cfg.seed)))
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint in {train_dir}")
+    return trainer, state
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     snapshot = os.path.join(args.train_dir, "config.json")
     if args.mode != "train" and os.path.exists(snapshot):
-        # Rebuild the exact trained config (esp. the optimizer, whose state
-        # shape must match the checkpoint).
-        import dataclasses
-        import json
-
-        data = json.load(open(snapshot))
-        opt = OptimizerConfig(**{k: v for k, v in data.pop("opt").items()
-                                 if k in {f.name for f in dataclasses.fields(OptimizerConfig)}})
-        cfg = ClassifierConfig(
-            **{k: v for k, v in data.items()
-               if k in {f.name for f in dataclasses.fields(ClassifierConfig)} and k != "opt"},
-            opt=opt,
-        )
+        cfg = load_config_snapshot(args.train_dir)
     else:
         cfg = ClassifierConfig(
             network=args.model_name,
