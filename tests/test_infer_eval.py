@@ -38,6 +38,42 @@ def trained_stage(tmp_path_factory):
     return stage_dir
 
 
+class TestEvalCLIModes:
+    def test_eval_modes_run_end_to_end(self, trained_stage, tmp_path):
+        """run_eval CLI smoke over real TFRecords: msssim / fid /
+        inception_score / eval_debug all produce their artifacts."""
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.evals import run_eval
+
+        rng = np.random.RandomState(0)
+        dirs = {}
+        for dom in ("a", "b"):
+            d = tmp_path / dom
+            d.mkdir()
+            for i in range(8):
+                PILImage.fromarray(
+                    (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+                ).save(d / f"{i}.png")
+            rec = str(tmp_path / f"rec_{dom}")
+            convert_image_folder(str(d), rec, num_shards=1)
+            dirs[dom] = rec
+
+        eval_dir = str(tmp_path / "eval")
+        base = [
+            f"--model_path={trained_stage}",
+            f"--dataset_dir={dirs['a']}", f"--target_dataset_dir={dirs['b']}",
+            f"--eval_dir={eval_dir}", "--num_images=8", "--batch_size=4",
+        ]
+        run_eval.main(["--mode=fid", *base])
+        assert os.path.exists(os.path.join(eval_dir, "fid.txt"))
+        run_eval.main(["--mode=inception_score", *base])
+        is_line = open(os.path.join(eval_dir, "inception_score.txt")).read()
+        assert float(is_line.split("\t")[1]) >= 1.0
+        run_eval.main(["--mode=msssim", *base])  # 8px -> documented skip path
+        run_eval.main(["--mode=eval_debug", *base])
+        assert os.path.exists(os.path.join(eval_dir, "eval_debug", "index.html"))
+
+
 class TestConfigIO:
     def test_roundtrip(self, trained_stage):
         from twingan_tpu.runner.config_io import load_stage_config

@@ -127,6 +127,9 @@ def main(argv=None) -> None:
             print("written:", path)
 
     elif args.mode == "msssim":
+        if hw < 11:
+            print("resolution < 11: the MS-SSIM window does not fit; skipped")
+            return
         fakes, n = [], 0
         for batch in batches:
             fakes.append(translate(batch["source"]))
