@@ -199,6 +199,44 @@ class TestUtilMisc:
         np.testing.assert_array_equal(out[2], [0, 0, 0])  # out of range
         np.testing.assert_array_equal(out[3], [0, 0, 0])  # negative
 
+    def test_anime_label_group_max(self, tmp_path):
+        from twingan_tpu.utils.misc import get_tags_dict, process_anime_face_labels
+
+        # label id -> group: 0,1 = hair (group 2); 2,3 = eyes (group 3);
+        # 4 = ungrouped free tag.
+        tsv = tmp_path / "groups.tsv"
+        tsv.write_text("0\tblonde_hair\t2\n1\tblack_hair\t2\n"
+                       "2\tblue_eyes\t3\n3\tred_eyes\t3\n")
+        groups = get_tags_dict(str(tsv), 0, 2)
+        assert groups == {0: "2", 1: "2", 2: "3", 3: "3"}
+
+        # Per group only the max survives; free tags are zeroed (no group).
+        out = process_anime_face_labels([0.9, 0.4, 0.3, 0.8, 0.7], 0.25, groups)
+        assert out == [0.9, 0.0, 0.0, 0.8, 0.0]
+        # Hair present but no eye color above threshold -> nothing at all.
+        out = process_anime_face_labels([0.9, 0.4, 0.1, 0.2, 0.7], 0.25, groups)
+        assert out == [0.0] * 5
+
+    def test_write_tags_group_filter(self, tmp_path):
+        trainer = ClassifierTrainer(self._tiny_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        images = np.random.RandomState(0).rand(2, trainer.cfg.image_hw,
+                                               trainer.cfg.image_hw, 3)
+        names = ["a.png", "b.png"]
+        tag_names = [f"t{i}" for i in range(trainer.cfg.num_classes)]
+        # Map every label to the hair group only -> eye color always missing
+        # -> the filter suppresses every tag line's content.
+        groups = {i: "2" for i in range(trainer.cfg.num_classes)}
+        path = trainer.write_tags(state, images, names, tag_names,
+                                  str(tmp_path / "tags.txt"), threshold=0.1,
+                                  labels_id_to_group=groups)
+        lines = open(path).read().splitlines()
+        assert [l.split("\t")[1] for l in lines] == ["", ""]
+
+    def _tiny_cfg(self):
+        return ClassifierConfig(network="lenet", num_classes=4, multi_label=True,
+                                image_hw=28, batch_size=2)
+
     def test_heatmap_and_patches(self):
         from twingan_tpu.utils.misc import get_random_patches, grayscale_to_heatmap
 

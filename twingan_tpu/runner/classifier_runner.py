@@ -56,6 +56,10 @@ def build_parser():
     p.add_argument("--num_eval_batches", type=int, default=16)
     p.add_argument("--tags_id_lookup_file", default="")
     p.add_argument("--tag_threshold", type=float, default=0.25)
+    # Reference process_mutually_exclusive_labels: a TSV mapping label id ->
+    # tag group; only the best label per group is kept, and images missing
+    # hair (group 2) or eye (group 3) color emit no tags.
+    p.add_argument("--tags_group_file", default="")
     p.add_argument("--gradcam_layer", default="conv5")
     p.add_argument("--output_dir", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -176,6 +180,11 @@ def main(argv=None):
         tag_names = [l.rstrip("\n") for l in open(args.tags_id_lookup_file, encoding="utf-8")]
         out = args.output_dir or os.path.join(args.train_dir, "tags_out")
         os.makedirs(out, exist_ok=True)
+        groups = None
+        if args.tags_group_file:
+            from twingan_tpu.utils.misc import get_tags_dict
+
+            groups = get_tags_dict(args.tags_group_file, 0, 2)
         batches = make_batches(args, cfg, training=False)
         written = 0
         for _ in range(args.num_eval_batches):
@@ -184,6 +193,7 @@ def main(argv=None):
             trainer.write_tags(
                 state, np.asarray(batch["image"]), names, tag_names,
                 os.path.join(out, "tags.txt"), threshold=args.tag_threshold,
+                labels_id_to_group=groups,
             )
             written += len(names)
         print(f"wrote tags for {written} images to {out}/tags.txt")

@@ -186,11 +186,22 @@ class ClassifierTrainer:
         out_path: str,
         threshold: float = 0.25,
         top_k: int = 10,
+        labels_id_to_group: Optional[dict] = None,
     ) -> str:
+        """labels_id_to_group enables the reference's mutually-exclusive
+        group filter (process_mutually_exclusive_labels,
+        train_image_classifier.py:218-219): only the best label per group
+        survives, and nothing is written for an image unless hair AND eye
+        color clear the threshold."""
+        from twingan_tpu.utils.misc import process_anime_face_labels
+
         probs = np.asarray(self.predict(state, jnp.asarray(images)))
         os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
         with open(out_path, "a") as f:
             for name, p in zip(filenames, probs):
+                if labels_id_to_group is not None:
+                    p = np.asarray(process_anime_face_labels(
+                        p, threshold, labels_id_to_group))
                 order = np.argsort(-p)[:top_k]
                 tags = [tag_names[i] for i in order if p[i] >= threshold]
                 f.write(f"{name}\t{','.join(tags)}\n")

@@ -63,6 +63,48 @@ def combine_dicts(dict_of_dicts: Mapping[str, Mapping[str, object]]) -> Dict[str
     return out
 
 
+def get_tags_dict(path: str, key_column_index=0, value_column_index=2) -> dict:
+    """Tab-separated file -> {key column (or line number): value column (or
+    whole line)} (reference util_misc.py:253-264)."""
+    ret = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if not line.strip():
+                continue
+            whole = line.rstrip("\n")
+            content = whole.split("\t")
+            key = i if key_column_index is None else int(content[key_column_index])
+            val = whole if value_column_index is None else content[value_column_index]
+            ret[key] = val
+    return ret
+
+
+def process_anime_face_labels(labels, classification_threshold: float,
+                              labels_id_to_group: dict) -> list:
+    """Mutually-exclusive tag-group filter (reference util_misc.py:220-250):
+    keep only the max-scoring label within each group; emit NOTHING unless
+    both hair color (group '2') and eye color (group '3') clear the
+    threshold — an anime-face tagger output must always name both."""
+    ret = [0.0] * len(labels)
+    group_vals: dict = {}
+    for i, val in enumerate(labels):
+        group = labels_id_to_group.get(i)
+        if group is not None:
+            group_vals.setdefault(group, []).append((i, float(val)))
+    hair_color_missing = True
+    eye_color_missing = True
+    for group, vals in group_vals.items():
+        idx, best = max(vals, key=lambda x: x[1])
+        ret[idx] = best
+        if group == "2" and best >= classification_threshold:
+            hair_color_missing = False
+        if group == "3" and best >= classification_threshold:
+            eye_color_missing = False
+    if hair_color_missing or eye_color_missing:
+        return [0.0] * len(labels)
+    return ret
+
+
 def box_iou(a, b) -> float:
     """IoU of two (x0, y0, x1, y1) boxes."""
     ax0, ay0, ax1, ay1 = a
