@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from twingan_tpu.models.config import PGGANConfig
 from twingan_tpu.models.cyclegan import CycleGANDiscriminator, CycleGANGenerator
@@ -320,7 +321,10 @@ class GanTrainer(BaseGanTrainer):
             gdrop_strength=new_strength,
             gen_ema_params=new_ema_params,
         )
-        metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength}
+        metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength,
+                   # Reference logs per-clone gradient norms
+                   # (deployment/model_deploy.py:506-530).
+                   "generator_grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
     def _d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -387,6 +391,7 @@ class GanTrainer(BaseGanTrainer):
             "discriminator_loss": d_loss,
             "real_pred_mean": jnp.mean(real_pred),
             "fake_pred_mean": jnp.mean(fake_pred),
+            "discriminator_grad_norm": optax.global_norm(grads),
             **losses,
         }
         return new_state, metrics

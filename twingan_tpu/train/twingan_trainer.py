@@ -32,6 +32,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from twingan_tpu import ops
 from twingan_tpu.models.config import PGGANConfig
@@ -439,7 +440,8 @@ class TwinGANTrainer(BaseGanTrainer):
             gdrop_strength=new_strength,
             gen_ema_params=new_ema_params,
         )
-        metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength, **losses}
+        metrics = {"generator_loss": g_loss, "alpha": alpha, "gdrop_strength": new_strength,
+                   "generator_grad_norm": optax.global_norm(grads), **losses}
         return new_state, metrics
 
     def _d_step(self, state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -519,7 +521,8 @@ class TwinGANTrainer(BaseGanTrainer):
             model_state=new_model_state,
             dis_opt_state=new_opt,
         )
-        metrics = {"discriminator_loss": d_loss, **losses}
+        metrics = {"discriminator_loss": d_loss,
+                   "discriminator_grad_norm": optax.global_norm(grads), **losses}
         return new_state, metrics
 
     # ------------------------------------------------------------------ #
