@@ -252,10 +252,14 @@ class TestStageRunnerEndToEnd:
         assert summary["4"]["steps"] == 3
 
     def test_sample_dumps(self, tmp_path):
-        cfg = self._run_cfg(tmp_path, max_hw=4, log_image_every_n_iter=2)
+        cfg = self._run_cfg(tmp_path, max_hw=4, log_image_every_n_iter=2,
+                            log_histograms_every_n_iter=2)
         StageRunner(cfg).run()
         samples = os.listdir(os.path.join(cfg.train_dir, "4", "generated_samples"))
         assert any(s.endswith(".png") for s in samples)
+        # Histogram summaries landed in the TB event files.
+        logs = os.path.join(cfg.train_dir, "4", "logs")
+        assert any(f.startswith("events") for f in os.listdir(logs))
 
     def test_twingan_sample_dumps_fixed_sources_and_style_roll(self, tmp_path):
         """Grids come from the fixed first real batch in BOTH directions,

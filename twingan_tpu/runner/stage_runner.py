@@ -101,6 +101,10 @@ class RunConfig:
     log_every_n_steps: int = 10
     save_every_n_steps: int = 2000
     log_image_every_n_iter: int = 2000
+    # Parameter histogram + zero-fraction summaries (reference variable
+    # histograms, model_inheritor.py:1057-1058). Off by default: each dump
+    # fetches the full param tree over the ~50 MB/s tunnel.
+    log_histograms_every_n_iter: int = 0
     keep_checkpoints: int = 3
     profile_stage_steps: int = 0             # capture a trace of N rounds per stage
     # On-device lax.scan loop: compile this many rounds into one dispatch
@@ -543,6 +547,17 @@ class StageRunner:
                 if (cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0
                         and self.is_coordinator):
                     self._dump_samples(trainer, state, stage_dir, cur, fixed_batch)
+                if (cfg.log_histograms_every_n_iter
+                        and cur % cfg.log_histograms_every_n_iter == 0
+                        and self.is_coordinator):
+                    import flax.traverse_util
+
+                    flat = flax.traverse_util.flatten_dict(
+                        flax.serialization.to_state_dict(state.params), sep="/"
+                    )
+                    writer.histograms(
+                        cur, {k: jax.device_get(v) for k, v in flat.items()}
+                    )
             self._save(cm, int(state.step), state)
             self._barrier(f"stage_end_{tag}")
         finally:

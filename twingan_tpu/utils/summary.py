@@ -52,6 +52,22 @@ class SummaryWriter:
         with self._tb.as_default():
             tf.summary.image(name, arr, step=int(step), max_outputs=max_images)
 
+    def histograms(self, step: int, values: Mapping[str, np.ndarray]) -> None:
+        """Histogram + zero-fraction sparsity per named tensor (reference
+        end-point activation histogram/sparsity summaries,
+        model_inheritor.py:721-726, and variable histograms :1057-1058)."""
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for k, v in values.items():
+                arr = np.asarray(v, np.float32)
+                tf.summary.histogram(k, arr, step=int(step))
+                tf.summary.scalar(
+                    f"{k}/zero_fraction", float(np.mean(arr == 0.0)), step=int(step)
+                )
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
