@@ -207,7 +207,9 @@ class TestStageRunnerEndToEnd:
         assert CheckpointManager(os.path.join(cfg.train_dir, "8")).latest_step() == 3
 
     def test_progressive_run_and_skip(self, tmp_path):
-        cfg = self._run_cfg(tmp_path)
+        # Histograms on: the combination histogram-dump + warm-start in one
+        # _run_stage once hit a local-import shadowing bug.
+        cfg = self._run_cfg(tmp_path, log_histograms_every_n_iter=2)
         runner = StageRunner(cfg)
         summary = runner.run()
         assert set(summary) == {"4", "4to8", "8"}

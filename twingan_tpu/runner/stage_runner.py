@@ -48,6 +48,7 @@ from twingan_tpu.utils.image_io import save_image_grid, stack_comparison
 from twingan_tpu.utils.summary import SummaryWriter
 
 import flax.serialization
+import flax.traverse_util
 
 # Reference batch-size schedules (pggan_runner.py:52-57).
 PGGAN_BATCH_SCHEDULE = {4: 16, 8: 16, 16: 16, 32: 16, 64: 12, 128: 12, 256: 12, 512: 6}
@@ -550,8 +551,6 @@ class StageRunner:
                 if (cfg.log_histograms_every_n_iter
                         and cur % cfg.log_histograms_every_n_iter == 0
                         and self.is_coordinator):
-                    import flax.traverse_util
-
                     flat = flax.traverse_util.flatten_dict(
                         flax.serialization.to_state_dict(state.params), sep="/"
                     )
