@@ -22,9 +22,6 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_cpu_collectives_implementation", "gloo")
-
 
 def build_round(global_batch: int, n_critic: int):
     """Deterministic config + batches shared by worker and parent."""
@@ -58,6 +55,12 @@ def build_round(global_batch: int, n_critic: int):
 
 
 def main():
+    # Config mutations live HERE, not at module import time: the parent
+    # test imports build_round from this module, and flipping the cpu
+    # collectives implementation inside the already-initialized test
+    # process must not happen as an import side effect.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     pid, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     from twingan_tpu.parallel import initialize_from_env
 
