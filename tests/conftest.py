@@ -21,6 +21,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated compiled-executable state.
+
+    Full-suite runs (280+ tests, ~600 XLA-CPU compilations in one process)
+    sporadically segfault inside jaxlib's backend_compile around the ~250th
+    compile — every file is green in isolation, and the crash follows the
+    suite POSITION, not a specific test. Dropping the jit caches at module
+    boundaries keeps the live-executable count at per-file levels. Cross-file
+    cache reuse is minimal (files compile distinct shapes), so runtime cost
+    is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(items):
     """Run the TensorFlow cross-golden file LAST.
 
