@@ -87,6 +87,9 @@ def main(argv=None):
                    choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--l_cyc", type=float, default=5.0)
+    p.add_argument("--self_attention_hw", type=int, default=0,
+                   help="insert SAGAN self-attention at this resolution "
+                   "(0 = off; exercises ops/attention in real training)")
     p.add_argument("--isolate_stages", type=int, default=1,
                    help="run each training stage in its own subprocess (the "
                    "axon TPU client leaks every host->device payload for "
@@ -146,6 +149,8 @@ def main(argv=None):
             resolution=args.start_hw, max_channels=128,
             norm_type="instance_norm", equalized_lr=True, do_pixel_norm=True,
             num_domains=2, dtype="bfloat16",
+            do_self_attention=args.self_attention_hw > 0,
+            self_attention_hw=args.self_attention_hw or 64,
         ),
         loss=GanLossConfig(architecture=args.loss),
         opt=OptimizerConfig(learning_rate=args.lr),
