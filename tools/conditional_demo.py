@@ -1,0 +1,146 @@
+"""Conditional-generation evidence: labels steer the generator.
+
+Trains the conditional PGGAN path end-to-end (reference
+image_generation.py:1026-1049: dataset labels -> conditional norms in G +
+embedded concat in D) on a synthetic labeled set — 16px discs whose COLOR
+is the class — then samples each class with shared noise and checks that
+the generated dominant color matches the requested label.
+
+Writes <work>/conditional_grid.png (rows = requested class) and
+conditional_demo.json with the per-class color-match accuracy.
+
+    python tools/conditional_demo.py --work /tmp/cond_demo
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+CLASSES = {"red": (220, 40, 40), "green": (40, 200, 40),
+           "blue": (50, 80, 230), "yellow": (230, 210, 40)}
+
+
+def make_dataset(out_dir: str, n: int, hw: int, seed: int):
+    from twingan_tpu.data.converters import convert_tagged_images
+
+    img_dir = os.path.join(out_dir, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    names = list(CLASSES)
+    lines = []
+    for i in range(n):
+        cls = names[i % len(names)]
+        arr = np.zeros((hw, hw, 3), np.uint8)
+        arr[:] = (20, 20, 28)
+        r = rng.randint(hw // 6, hw // 3)
+        cy, cx = rng.randint(r, hw - r, 2)
+        yy, xx = np.mgrid[:hw, :hw]
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        arr[mask] = CLASSES[cls]
+        name = f"{i}.png"
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
+        lines.append(f"{name}\t{cls}")
+    tags = os.path.join(out_dir, "tags.tsv")
+    with open(tags, "w") as f:
+        f.write("\n".join(lines))
+    vocab = os.path.join(out_dir, "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(names) + "\n")
+    rec = os.path.join(out_dir, "rec")
+    count = convert_tagged_images(img_dir, tags, rec, dataset_name="anime_faces",
+                                  num_shards=1)
+    return rec, vocab, count
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--work", default="/tmp/cond_demo")
+    p.add_argument("--hw", type=int, default=16)
+    p.add_argument("--n", type=int, default=600)
+    p.add_argument("--images", type=int, default=96000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rec, vocab, count = make_dataset(args.work, args.n, args.hw, args.seed)
+    print(f"dataset: {count} records", flush=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.models.pggan import noise_shape
+    from twingan_tpu.runner.checkpoint import CheckpointManager
+    from twingan_tpu.runner.stage_runner import RunConfig, StageRunner
+    from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
+    from twingan_tpu.train.losses import GanLossConfig
+    from twingan_tpu.train.optimizers import OptimizerConfig
+    from twingan_tpu.utils.image_io import save_image_grid
+
+    tcfg = GanTrainerConfig(
+        model=PGGANConfig(resolution=args.hw, max_channels=128,
+                          norm_type="batch_norm", equalized_lr=True,
+                          do_pixel_norm=True, dtype="bfloat16"),
+        loss=GanLossConfig(architecture="dragan"),
+        opt=OptimizerConfig(learning_rate=2e-4),
+        batch_size=args.batch,
+        use_conditional_labels=True,
+        num_classes=len(CLASSES),
+        conditional_embed_dim=16,
+    )
+    run_cfg = RunConfig(
+        program="image_generation",
+        train_dir=os.path.join(args.work, "train"),
+        start_hw=args.hw, max_hw=args.hw,
+        num_images_per_resolution=args.images,
+        batch_schedule={args.hw: args.batch},
+        dataset_name="anime_faces", dataset_dir=rec, vocab_file=vocab,
+        trainer=tcfg,
+        log_every_n_steps=500, save_every_n_steps=10 ** 9,
+        log_image_every_n_iter=0, rounds_per_scan=25, num_devices=1,
+        seed=args.seed,
+    )
+    summary = StageRunner(run_cfg).run()
+    print("trained:", json.dumps(summary), flush=True)
+
+    trainer = GanTrainer(tcfg)
+    state = CheckpointManager(os.path.join(run_cfg.train_dir, str(args.hw))).restore(
+        trainer.init_state(jax.random.PRNGKey(0)))
+    n_show = 8
+    z = jax.random.normal(jax.random.PRNGKey(7), noise_shape(tcfg.model, n_show))
+    rows, results = [], {}
+    targets = np.asarray(list(CLASSES.values()), np.float32) / 255.0
+    for ci, cls in enumerate(CLASSES):
+        hot = jnp.zeros((n_show, len(CLASSES))).at[:, ci].set(1.0)
+        imgs = np.asarray(trainer.sample(state, z, labels=hot).astype(jnp.float32))
+        imgs = np.clip(imgs, 0, 1)
+        rows.append(np.concatenate(list(imgs), axis=1))
+        # Dominant color of the bright region vs the requested class color.
+        correct = 0
+        for img in imgs:
+            bright = img[img.sum(-1) > img.sum(-1).mean() + 0.2]
+            if len(bright) == 0:
+                continue
+            mean = bright.mean(0)
+            if int(np.argmin(((targets - mean) ** 2).sum(-1))) == ci:
+                correct += 1
+        results[cls] = correct / n_show
+    grid = np.concatenate(rows, axis=0)
+    gallery = os.path.join(args.work, "conditional_grid.png")
+    save_image_grid(gallery, grid[None])
+    out = {"per_class_color_match": results,
+           "mean_accuracy": float(np.mean(list(results.values())))}
+    with open(os.path.join(args.work, "conditional_demo.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    print("written:", gallery)
+
+
+if __name__ == "__main__":
+    main()

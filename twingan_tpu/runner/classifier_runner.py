@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--max_number_of_steps", type=int, default=10000)
     p.add_argument("--learning_rate", type=float, default=0.01)
     p.add_argument("--optimizer", default="rmsprop")
+    p.add_argument("--weight_decay", type=float, default=0.00004,
+                   help="coupled L2 weight decay (reference weight_decay "
+                        "flag default)")
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--preprocessing_name", default="")
     p.add_argument("--log_every_n_steps", type=int, default=50)
@@ -140,7 +143,8 @@ def main(argv=None):
             label_smoothing=args.label_smoothing,
             seed=args.seed,
             total_steps=args.max_number_of_steps,
-            opt=OptimizerConfig(optimizer=args.optimizer, learning_rate=args.learning_rate),
+            opt=OptimizerConfig(optimizer=args.optimizer, learning_rate=args.learning_rate,
+                                weight_decay=args.weight_decay),
         )
     trainer = ClassifierTrainer(cfg)
     cm = CheckpointManager(args.train_dir)

@@ -31,6 +31,22 @@ def _bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+def _batch_schedule(args):
+    """Per-resolution batch sizes: --hw_to_batch_size dict literal (the
+    reference pggan_runner.py flag) > flat --batch_size > built-in default
+    schedule (None)."""
+    if args.hw_to_batch_size:
+        import ast
+
+        sched = ast.literal_eval(args.hw_to_batch_size)
+        if not isinstance(sched, dict):
+            raise ValueError("--hw_to_batch_size must be a dict literal")
+        return {int(k): int(v) for k, v in sched.items()}
+    if args.batch_size:
+        return {r: args.batch_size for r in (4, 8, 16, 32, 64, 128, 256, 512)}
+    return None
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     # Runner flags (reference pggan_runner.py).
@@ -40,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_hw", type=int, default=64)
     p.add_argument("--num_images_per_resolution", type=int, default=300000)
     p.add_argument("--batch_size", type=int, default=0, help="override the per-resolution schedule")
+    p.add_argument("--hw_to_batch_size", default="",
+                   help="per-resolution batch dict, e.g. '{4: 16, 256: 12}' "
+                        "(reference pggan_runner.py hw_to_batch_size); "
+                        "unlisted resolutions use the largest listed entry")
     # Dataset flags.
     p.add_argument("--dataset_name", default="image_only")
     p.add_argument("--dataset_dir", default="")
@@ -193,9 +213,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         start_hw=args.start_hw,
         max_hw=args.max_hw,
         num_images_per_resolution=args.num_images_per_resolution,
-        batch_schedule={r: args.batch_size for r in (4, 8, 16, 32, 64, 128, 256, 512)}
-        if args.batch_size
-        else None,
+        batch_schedule=_batch_schedule(args),
         dataset_name=args.dataset_name,
         dataset_dir=args.dataset_dir,
         dataset_split=args.dataset_split_name,

@@ -32,6 +32,11 @@ class OptimizerConfig:
     momentum: float = 0.9
     rmsprop_momentum: float = 0.9
     rmsprop_decay: float = 0.9
+    # L2 regularization (reference weight_decay flag; slim adds an l2 loss
+    # term per variable, i.e. wd*param added to the gradient). Implemented
+    # as optax.add_decayed_weights BEFORE the optimizer — identical coupled
+    # semantics. 0 disables; reference classifier configs default to 4e-5.
+    weight_decay: float = 0.0
     # Optional global-norm clip (not in the reference; off by default).
     clip_global_norm: float = 0.0
     # Freeze params whose tree path contains any of these substrings
@@ -80,6 +85,8 @@ def build_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         tx = optax.adagrad(schedule)
     else:
         raise ValueError(f"unsupported optimizer {name!r}")
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     if cfg.clip_global_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_global_norm), tx)
     if cfg.frozen_scopes:
