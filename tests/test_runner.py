@@ -528,3 +528,48 @@ class TestSchemaEvolution:
             np.asarray(restored.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
             np.asarray(state.params["generator"]["block_4_conv0"]["conv"]["kernel"]),
         )
+
+
+class TestOptimizerParity:
+    def test_weight_decay_shrinks_params(self):
+        """OptimizerConfig.weight_decay is coupled L2 (reference weight_decay
+        flag): with zero gradients, sgd(lr) + wd moves params by -lr*wd*w."""
+        from twingan_tpu.train.optimizers import build_optimizer
+        import optax
+
+        cfg = OptimizerConfig(optimizer="sgd", learning_rate=0.5, weight_decay=0.1)
+        tx = build_optimizer(cfg)
+        params = {"w": jnp.full((3,), 2.0)}
+        st = tx.init(params)
+        upd, _ = tx.update({"w": jnp.zeros(3)}, st, params)
+        np.testing.assert_allclose(np.asarray(upd["w"]), -0.5 * 0.1 * 2.0, rtol=1e-6)
+        params2 = optax.apply_updates(params, upd)
+        assert float(params2["w"][0]) < 2.0
+
+    def test_weight_decay_respects_frozen_scopes(self):
+        from twingan_tpu.train.optimizers import build_optimizer
+
+        cfg = OptimizerConfig(optimizer="sgd", learning_rate=0.5,
+                              weight_decay=0.1, frozen_scopes=("frozen",))
+        tx = build_optimizer(cfg)
+        params = {"frozen": jnp.ones(2), "live": jnp.ones(2)}
+        st = tx.init(params)
+        upd, _ = tx.update({"frozen": jnp.zeros(2), "live": jnp.zeros(2)}, st, params)
+        np.testing.assert_array_equal(np.asarray(upd["frozen"]), 0.0)
+        assert float(upd["live"][0]) != 0.0
+
+
+class TestRunnerCliParity:
+    def test_hw_to_batch_size_flag(self):
+        """--hw_to_batch_size takes the reference's dict-literal format."""
+        from twingan_tpu.runner.pggan_runner import build_parser, _batch_schedule
+
+        a = build_parser().parse_args(
+            ["--train_dir", "/tmp/x", "--hw_to_batch_size",
+             "{4: 16, 8: 16, 256: 12}"])
+        assert _batch_schedule(a) == {4: 16, 8: 16, 256: 12}
+        flat = build_parser().parse_args(
+            ["--train_dir", "/tmp/x", "--batch_size", "7"])
+        assert _batch_schedule(flat)[128] == 7
+        default = build_parser().parse_args(["--train_dir", "/tmp/x"])
+        assert _batch_schedule(default) is None
