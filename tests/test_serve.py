@@ -121,6 +121,29 @@ class TestServer:
         with urllib.request.urlopen(req) as r:
             assert json.loads(r.read())["status"] == "success"
 
+    def test_post_detect_face_mode(self, server):
+        """Face-detection preview mode (reference server.py:86-95
+        'detectFace'): returns a marked image, no translation outputs."""
+        import base64
+
+        payload = json.dumps({
+            "image": base64.b64encode(_png_bytes()).decode(),
+            "detect_face": True,
+        }).encode()
+        req = urllib.request.Request(
+            server, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        assert data["status"] == "success"
+        assert isinstance(data["face_found"], bool)
+        assert data["image"].startswith("data:image/")
+        from twingan_tpu.utils.image_io import base64_to_numpy
+
+        marked = base64_to_numpy(data["image"])
+        assert marked.shape == (64, 64, 3)
+        assert "outputs" not in data  # preview only, nothing translated
+
     def test_bad_requests(self, server):
         # Garbage body -> clean 400, not a hung or crashed server.
         req = urllib.request.Request(

@@ -82,6 +82,40 @@ class FaceDetector:
         boxes.sort(key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
         return boxes[: self.max_faces]
 
+    def raw_boxes(self, image: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Unexpanded detections as (x, y, w, h), detector order."""
+        if self._detector is None:
+            return []
+        gray = _rgb_to_gray(np.asarray(image, np.float32))
+        faces = self._detector.detect(
+            gray, min_neighbors=3, min_size=max(24, min(image.shape[:2]) // 10)
+        )
+        return [tuple(int(v) for v in f) for f in faces]
+
+    def mark_face(self, image: np.ndarray) -> tuple[np.ndarray, bool]:
+        """Returns (annotated uint8 copy, face_found) — the reference's
+        detectFace preview mode (face_detection_util.py:166-185, drawn via
+        visualize_boxes_and_labels_on_image_array). The Haar cascade has no
+        calibrated confidence, so boxes are labeled 'face' without a score
+        (deliberate divergence from the SSD's 'face: NN%')."""
+        from twingan_tpu.utils.visualization import (
+            visualize_boxes_and_labels_on_image_array,
+        )
+
+        marked = np.array(image, np.uint8)  # always a fresh copy
+        faces = self.raw_boxes(image)
+        if faces:
+            h, w = image.shape[:2]
+            boxes = np.asarray(
+                [[y / h, x / w, (y + fh) / h, (x + fw) / w]
+                 for (x, y, fw, fh) in faces], np.float32,
+            )
+            visualize_boxes_and_labels_on_image_array(
+                marked, boxes, np.ones(len(faces), np.int32), None,
+                {1: {"id": 1, "name": "face"}},
+            )
+        return marked, bool(faces)
+
     def crop_faces(self, image: np.ndarray) -> list[np.ndarray]:
         """Cropped face images; falls back to the full (center-squared) image
         when no face is found — the reference serves whole images then too."""

@@ -164,11 +164,22 @@ def make_handler(service: TranslationService):
                 elif ctype.startswith("image/"):
                     image = np.asarray(PILImage.open(io.BytesIO(body)).convert("RGB"), np.uint8)
                 elif ctype.startswith("application/json"):
-                    import base64
+                    from twingan_tpu.utils.image_io import base64_to_numpy
 
                     payload = json.loads(body)
-                    raw = base64.b64decode(payload["image"])
-                    image = np.asarray(PILImage.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+                    image = base64_to_numpy(payload["image"])
+                    if payload.get("detect_face"):
+                        # Face-detection preview mode (reference server.py:86-95
+                        # 'detectFace'): return the marked image, don't translate.
+                        from twingan_tpu.utils.image_io import numpy_to_base64
+
+                        marked, found = service.detector.mark_face(image)
+                        self._json(200, {
+                            "status": "success",
+                            "image": numpy_to_base64(marked),
+                            "face_found": found,
+                        })
+                        return
                 if image is None:
                     self._json(400, {"status": "error", "message": "no image found in request"})
                     return

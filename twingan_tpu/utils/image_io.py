@@ -46,6 +46,29 @@ def save_image_grid(path: str, images: np.ndarray, columns: int | None = None) -
     imsave_float(path, grid)
 
 
+def numpy_to_base64(image: np.ndarray, fmt: str = "PNG") -> str:
+    """uint8 HWC image -> 'data:image/FMT;base64,...' data URI (reference
+    interface_utils.numpu_to_base64 [sic], interface_utils.py:53-59)."""
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    PILImage.fromarray(np.asarray(image, np.uint8)).save(buf, format=fmt)
+    return f"data:image/{fmt};base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def base64_to_numpy(data: str) -> np.ndarray:
+    """Inverse of numpy_to_base64; accepts raw base64 or a data URI
+    (reference interface_utils.base64_to_numpy, interface_utils.py:43-50)."""
+    import base64
+    import io
+
+    if data.startswith("data:"):
+        data = data.split(",", 1)[1]
+    raw = base64.b64decode(data)
+    return np.asarray(PILImage.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+
+
 def stack_comparison(pairs: Sequence[np.ndarray]) -> np.ndarray:
     """Interleave equal-shape batches row-wise (source above output, the
     reference's source_t_prime combined dumps, twingan.py:666-678)."""
