@@ -19,6 +19,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 V5E_PEAK_BF16 = 197e12
+V5E_HBM_BW = 819e9  # bytes/sec
+# Machine balance: ops/byte needed to be MXU-bound rather than HBM-bound.
+V5E_BALANCE = V5E_PEAK_BF16 / V5E_HBM_BW  # ~240 FLOP/byte
+
+
+def cost_entry(compiled):
+    """XLA cost analysis dict for a compiled computation (or None)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return dict(ca)
+    except Exception as e:
+        print(f"cost_analysis unavailable ({e})", file=sys.stderr)
+        return None
+
+
+def roofline_fields(flops: float, bytes_accessed: float, dt: float) -> dict:
+    """Achieved vs both rooflines. `bytes accessed` counts every operand +
+    output of every HLO op post-fusion — an upper bound on true HBM traffic
+    (it includes reads that hit in VMEM), so pct_hbm_roofline is
+    conservative-high on arithmetic ops and ~exact on the bandwidth-bound
+    ones that matter here."""
+    intensity = flops / bytes_accessed
+    achieved_bw = bytes_accessed / dt
+    achieved_flops = flops / dt
+    # Roofline-predicted time: max of the two resource lower bounds.
+    t_bound = max(flops / V5E_PEAK_BF16, bytes_accessed / V5E_HBM_BW)
+    return {
+        "bytes_accessed_gb": round(bytes_accessed / 1e9, 3),
+        "operational_intensity_flop_per_byte": round(intensity, 1),
+        "machine_balance_flop_per_byte": round(V5E_BALANCE, 1),
+        "achieved_hbm_gbps": round(achieved_bw / 1e9, 1),
+        "peak_hbm_gbps": round(V5E_HBM_BW / 1e9, 1),
+        "pct_hbm_roofline": round(achieved_bw / V5E_HBM_BW, 4),
+        "mfu": round(achieved_flops / V5E_PEAK_BF16, 4),
+        "pct_of_roofline_bound": round(t_bound / dt, 4),
+        "bound_by": "mxu" if intensity > V5E_BALANCE else "hbm",
+    }
 
 
 def conv_flops_analytic(cfg) -> float:
@@ -51,7 +90,7 @@ def conv_flops_analytic(cfg) -> float:
     return total
 
 
-def train_mfu(iters: int) -> None:
+def train_mfu(iters: int, batch: int = 3) -> None:
     """MFU for the TwinGAN 256px training round (reference schedule batch 3,
     DRAGAN + UNet — the docs/PERFORMANCE.md headline train config). FLOPs
     come from XLA's compiled cost analysis of scan_rounds (fwd + bwd + both
@@ -64,7 +103,7 @@ def train_mfu(iters: int) -> None:
     from twingan_tpu.train.optimizers import OptimizerConfig
     from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
 
-    batch, res, n_rounds = 3, 256, 10
+    res, n_rounds = 256, 10
     cfg = TwinGANConfig(
         model=PGGANConfig(resolution=res, max_channels=256, num_domains=2,
                           equalized_lr=True, norm_type="batch_norm", dtype="bfloat16"),
@@ -88,14 +127,9 @@ def train_mfu(iters: int) -> None:
     fn = type(trainer).scan_rounds.__wrapped__  # the unjitted method
     lowered = jax.jit(fn, static_argnums=0, donate_argnums=1).lower(
         trainer, state, stacked(0), jax.random.PRNGKey(1))
-    flops = None
-    try:
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:
-        print(f"cost_analysis unavailable ({e})", file=sys.stderr)
+    ca = cost_entry(lowered.compile())
+    flops = float(ca.get("flops", 0.0)) or None if ca else None
+    bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None if ca else None
 
     n_steps = n_rounds * cfg.n_critic
     # Pre-stage all inputs on device OUTSIDE the timed region (the ~50 MB/s
@@ -127,6 +161,8 @@ def train_mfu(iters: int) -> None:
             "peak_bf16_tflops": V5E_PEAK_BF16 / 1e12,
             "mfu": round(achieved / V5E_PEAK_BF16, 4),
         })
+        if bytes_accessed:
+            out.update(roofline_fields(flops, bytes_accessed, dt))
     print(json.dumps(out))
 
 
@@ -139,7 +175,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.train:
-        train_mfu(args.iters)
+        # --batch defaults to 256 (inference); the reference train schedule
+        # is batch 3 — pass --batch 3 explicitly for that comparison point.
+        train_mfu(args.iters, batch=min(args.batch, 64))
         return
 
     import jax
@@ -166,14 +204,9 @@ def main(argv=None):
 
     lowered = jax.jit(translate).lower(enc_vars, gen_vars, images)
     compiled = lowered.compile()
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:
-        print(f"cost_analysis unavailable ({e}); using analytic count", file=sys.stderr)
+    ca = cost_entry(compiled)
+    flops = float(ca.get("flops", 0.0)) or None if ca else None
+    bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None if ca else None
     analytic = conv_flops_analytic(cfg) * batch
     if flops is None:
         flops = analytic
@@ -203,10 +236,11 @@ def main(argv=None):
         t0 = time.perf_counter()
         float(translate_chunk(enc_vars, gen_vars, im))
         times.append(time.perf_counter() - t0)
-    imgs_per_sec = chunk * batch / float(np.median(times))
+    dt_per_batch = float(np.median(times)) / chunk
+    imgs_per_sec = batch / dt_per_batch
     achieved = imgs_per_sec * flops_per_img
 
-    print(json.dumps({
+    out = {
         "flops_per_img_xla": round(flops_per_img / 1e9, 3),
         "flops_per_img_analytic_conv": round(analytic / batch / 1e9, 3),
         "unit_flops": "GFLOP/img",
@@ -214,7 +248,11 @@ def main(argv=None):
         "achieved_tflops": round(achieved / 1e12, 2),
         "peak_bf16_tflops": V5E_PEAK_BF16 / 1e12,
         "mfu": round(achieved / V5E_PEAK_BF16, 4),
-    }))
+    }
+    if bytes_accessed:
+        # cost_analysis covers ONE batch of `translate`; dt matched per batch.
+        out.update(roofline_fields(flops, bytes_accessed, dt_per_batch))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
