@@ -108,7 +108,8 @@ def allreduce_bytes(hlo_text: str) -> int:
     return total
 
 
-def analyze(n_devices: int, res: int, per_device_batch: int) -> dict:
+def analyze(n_devices: int, res: int, per_device_batch: int,
+            max_channels: int = 256) -> dict:
     import jax
 
     from twingan_tpu.models.config import PGGANConfig
@@ -121,7 +122,8 @@ def analyze(n_devices: int, res: int, per_device_batch: int) -> dict:
     mesh = create_mesh(devices)
     batch = per_device_batch * n_devices  # weak scaling: fixed work per chip
     cfg = TwinGANConfig(
-        model=PGGANConfig(resolution=res, max_channels=256, num_domains=2,
+        model=PGGANConfig(resolution=res, max_channels=max_channels,
+                          num_domains=2,
                           equalized_lr=True, norm_type="instance_norm",
                           dtype="bfloat16"),
         loss=GanLossConfig(architecture="dragan"),
