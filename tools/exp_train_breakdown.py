@@ -99,8 +99,9 @@ def run_variant(name: str, iters: int) -> dict:
     float(m["generator_loss"][-1])
     compile_s = time.perf_counter() - t0
     inputs = [stacked(2 + i) for i in range(iters)]
-    for inp in inputs:
-        float(jnp.sum(inp[keys[0]][0, 0]))  # flush transfers
+    for inp in inputs:  # flush EVERY key's transfer before timing
+        for k in keys:
+            float(jnp.sum(inp[k][0, 0]))
     times = []
     for inp in inputs:
         t0 = time.perf_counter()
@@ -124,8 +125,21 @@ def main(argv=None):
     p.add_argument("--variants", default="base,gan_loss,no_unet,batch_norm")
     p.add_argument("--iters", type=int, default=4)
     args = p.parse_args(argv)
-    for name in args.variants.split(","):
-        print(json.dumps(run_variant(name.strip(), args.iters)), flush=True)
+    names = [n.strip() for n in args.variants.split(",")]
+    if len(names) > 1:
+        # One subprocess per variant: the axon client pins every
+        # host->device payload for process lifetime (~GBs per variant at
+        # 256px), so in-process looping would leak host RSS and degrade
+        # later variants' measurements (CLAUDE.md environment gotcha).
+        import subprocess
+
+        for name in names:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--variants", name, "--iters", str(args.iters)],
+                check=True)
+        return
+    print(json.dumps(run_variant(names[0], args.iters)), flush=True)
 
 
 if __name__ == "__main__":

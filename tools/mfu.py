@@ -91,8 +91,9 @@ def conv_flops_analytic(cfg) -> float:
 
 
 def train_mfu(iters: int, batch: int = 3) -> None:
-    """MFU for the TwinGAN 256px training round (reference schedule batch 3,
-    DRAGAN + UNet — the docs/PERFORMANCE.md headline train config). FLOPs
+    """MFU for the TwinGAN 256px training round (default batch 3 = the
+    reference schedule, DRAGAN + UNet — the docs/PERFORMANCE.md headline
+    train config; --train_batch overrides). FLOPs
     come from XLA's compiled cost analysis of scan_rounds (fwd + bwd + both
     optimizers), throughput from the bench protocol."""
     import jax
@@ -168,16 +169,18 @@ def train_mfu(iters: int, batch: int = 3) -> None:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=256,
+                   help="inference batch (ignored with --train)")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--train", action="store_true",
                    help="measure the TwinGAN 256px training round instead")
+    p.add_argument("--train_batch", type=int, default=3,
+                   help="training batch for --train (3 = the reference "
+                   "schedule; >8 OOMs one chip with DRAGAN at 256px)")
     args = p.parse_args(argv)
 
     if args.train:
-        # --batch defaults to 256 (inference); the reference train schedule
-        # is batch 3 — pass --batch 3 explicitly for that comparison point.
-        train_mfu(args.iters, batch=min(args.batch, 64))
+        train_mfu(args.iters, batch=args.train_batch)
         return
 
     import jax

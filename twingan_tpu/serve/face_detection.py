@@ -71,19 +71,18 @@ class FaceDetector:
 
     def detect(self, image: np.ndarray) -> list[tuple[int, int, int, int]]:
         """Returns square crop boxes (x0, y0, x1, y1), largest first."""
-        if self._detector is None:
-            return []
-        gray = _rgb_to_gray(np.asarray(image, np.float32))
-        faces = self._detector.detect(gray, min_neighbors=3, min_size=max(24, min(image.shape[:2]) // 10))
-        boxes = []
         h, w = image.shape[:2]
-        for (x, y, fw, fh) in faces:
-            boxes.append(square_crop(expand_box(x, y, fw, fh, w, h), w, h))
+        boxes = [
+            square_crop(expand_box(x, y, fw, fh, w, h), w, h)
+            for (x, y, fw, fh) in self.raw_boxes(image)
+        ]
         boxes.sort(key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
         return boxes[: self.max_faces]
 
     def raw_boxes(self, image: np.ndarray) -> list[tuple[int, int, int, int]]:
-        """Unexpanded detections as (x, y, w, h), detector order."""
+        """Unexpanded detections as (x, y, w, h), detector order — the
+        single detector invocation both detect() (crop pipeline) and
+        mark_face() (preview overlay) build on, so tuning stays in sync."""
         if self._detector is None:
             return []
         gray = _rgb_to_gray(np.asarray(image, np.float32))

@@ -66,7 +66,9 @@ def base64_to_numpy(data: str) -> np.ndarray:
     if data.startswith("data:"):
         data = data.split(",", 1)[1]
     raw = base64.b64decode(data)
-    return np.asarray(PILImage.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    # np.array (not asarray): PIL-backed arrays are read-only, and callers
+    # feed these to the in-place drawing API (utils/visualization.py).
+    return np.array(PILImage.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
 
 
 def stack_comparison(pairs: Sequence[np.ndarray]) -> np.ndarray:
