@@ -34,16 +34,32 @@ def swd_eval(
     save_path: Optional[str] = None,
     step: int = 0,
 ) -> Optional[dict]:
-    """Reference SWD protocol; returns {resolution: (real, fake)} x1e3."""
-    reals, fakes, n = [], [], 0
+    """Reference SWD protocol; returns {resolution: (real, fake)} x1e3.
+
+    Axon-backend caveat: both accumulated sets transfer host->device as one
+    fp32 payload each (the sorted-projection protocol needs the full set);
+    at the reference's num_images=8192 / 256px that is ~6.4 GB per set,
+    which the axon client pins for process lifetime (CLAUDE.md). Full-
+    protocol SWD runs should therefore use a dedicated eval process (the
+    run_eval CLI already is one); convergence-curve callers pass ~128
+    images and are unaffected.
+    """
+    reals, fakes, n_r, n_f = [], [], 0, 0
     for r, f in zip(real_batches, fake_batches):
         reals.append(np.asarray(r, np.float32))
         fakes.append(np.asarray(f, np.float32))
-        n += len(reals[-1])
-        if n >= num_images:
+        n_r += len(reals[-1])
+        n_f += len(fakes[-1])
+        # Stop only once BOTH sets are full: ragged/unequal batch sizes
+        # otherwise leave one set short and the sorted-projection
+        # difference below shape-errors mid-jit.
+        if n_r >= num_images and n_f >= num_images:
             break
-    real = np.concatenate(reals)[:num_images]
-    fake = np.concatenate(fakes)[:num_images]
+    if not reals or not fakes:
+        return None
+    n = min(n_r, n_f, num_images)
+    real = np.concatenate(reals)[:n]
+    fake = np.concatenate(fakes)[:n]
     res = real.shape[1]
     if res < 16:
         return None  # 'Not doing swd on small images.'
@@ -85,7 +101,11 @@ def msssim_eval(batches: Iterable[np.ndarray], num_images: int = 0, max_val: flo
         count += pairs
         if num_images and count * 2 >= num_images:
             break
-    return total / max(count, 1)
+    if count == 0:
+        # No pairs measured (e.g. batch_size=1 everywhere): 0.0 would read
+        # as a perfect diversity score in the 'lower = more diverse' usage.
+        return float("nan")
+    return total / count
 
 
 def pairwise_msssim(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
@@ -210,11 +230,11 @@ def streaming_loss_eval(
     """Mean of every named loss over eval batches (slim streaming_mean)."""
     sums: Dict[str, float] = {}
     count = 0
-    for i, batch in enumerate(batches):
+    for batch in batches:
         losses = loss_fn({k: jnp.asarray(v) for k, v in batch.items()})
         for k, v in losses.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         count += 1
-        if num_batches and i + 1 >= num_batches:
+        if num_batches and count >= num_batches:
             break
     return {k: v / max(count, 1) for k, v in sums.items()}

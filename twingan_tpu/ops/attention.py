@@ -218,7 +218,21 @@ def _flash_backward(f, g, h, do, lse, delta, block_q: int, block_k: int):
 def flash_attention_core(
     f: jax.Array, g: jax.Array, h: jax.Array, block_q: int = 256, block_k: int = 512
 ) -> jax.Array:
-    """Blockwise (flash) attention; exact same math as ``attention_core``."""
+    """Blockwise (flash) attention; exact same math as ``attention_core``.
+
+    N must be divisible by BOTH block sizes: the grid uses floor division,
+    so a remainder would mean output rows that are never written
+    (uninitialized HBM on TPU) — rejected loudly here instead.
+    """
+    if pltpu is None:
+        raise RuntimeError(
+            "flash attention unavailable: jax.experimental.pallas.tpu failed "
+            "to import on this jaxlib; use attention_core (einsum) instead")
+    n = f.shape[1]
+    if n % block_q or n % block_k:
+        raise ValueError(
+            f"flash attention needs N divisible by block_q={block_q} and "
+            f"block_k={block_k}, got N={n}")
     return _flash_forward(f, g, h, block_q, block_k)[0]
 
 
@@ -261,7 +275,8 @@ def self_attention(
     n = f.shape[1]
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and pltpu is not None and n >= 4096 and n % max(block_q, block_k) == 0
+        use_flash = (on_tpu and pltpu is not None and n >= 4096
+                     and n % block_q == 0 and n % block_k == 0)
     if use_flash:
         return flash_attention_core(f, g, h, block_q, block_k)
     return attention_core(f, g, h)

@@ -35,7 +35,10 @@ def create_mesh(devices: Optional[Iterable[jax.Device]] = None, axis: str = DATA
 
 
 def data_sharding(mesh: Mesh, ndim: int = 4, axis: str = DATA_AXIS) -> NamedSharding:
-    """Batch-dim sharding for an ndim-rank array."""
+    """Batch-dim sharding for an ndim-rank array (rank-0 → replicated —
+    scalar batch leaves like per-batch weights have no batch axis)."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
@@ -59,8 +62,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 def put_with_sharding(x: Any, sharding: NamedSharding) -> jax.Array:
     """device_put a host array to a sharding, multi-process-safe: when the
     sharding spans non-addressable devices, assemble the global array from
-    this process's slice instead (every process holds the global value)."""
-    if jax.process_count() > 1:
+    this process's slice instead (every process holds the global value).
+
+    The routing checks the SHARDING's devices, not jax.process_count():
+    in a multi-process run a host-local sharding (e.g. a mesh over
+    jax.local_devices() for per-host eval) is fully addressable and must
+    take the plain device_put path — make_global_array would slice the
+    already-local value."""
+    if not sharding.is_fully_addressable:
         from twingan_tpu.parallel.multihost import make_global_array
 
         return make_global_array(x, sharding)
