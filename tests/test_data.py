@@ -77,6 +77,18 @@ class TestTFRecordCodec:
         with pytest.raises(IOError):
             TFRecordReader(path, verify=True)
 
+    def test_truncated_final_record_detected(self, tmp_path):
+        """A shard cut mid-payload (crashed converter) must fail the scan
+        even with verify=False — the framing claims bytes past EOF."""
+        path = str(tmp_path / "cut.tfrecord")
+        with TFRecordWriter(path) as w:
+            w.write(b"x" * 100)
+            w.write(b"y" * 100)
+        raw = open(path, "rb").read()
+        open(path, "wb").write(raw[:-60])  # drop most of record 2's payload
+        with pytest.raises(IOError, match="truncated|corrupt"):
+            TFRecordReader(path, verify=False)
+
     def test_masked_crc_matches_tensorflow_values(self):
         # Golden value from TF's crc32c of b'123456789' == 0xe3069283.
         from twingan_tpu.data import crc32c
@@ -148,6 +160,11 @@ class TestDatasetsAndConverters:
         n = convert_image_folder(img_dir, out_dir, split="train", num_shards=2)
         assert n == 6
         shards = list_shards(out_dir, "train")
+        # Token matching: temp files and substring-containing names are
+        # excluded ('pretrain' must not match split='train').
+        open(os.path.join(out_dir, "x_train_00.tfrecord.tmp"), "w").close()
+        open(os.path.join(out_dir, "pretrain_faces_00.tfrecord"), "w").close()
+        assert list_shards(out_dir, "train") == shards
         assert len(shards) == 2
         spec = get_dataset("image_only")
         items = [spec.parse(p) for p in TFRecordReader(shards[0])]
@@ -363,6 +380,64 @@ class TestPipeline:
         assert set(batch) == {"source", "target"}
         assert isinstance(batch["source"], jax.Array)
         pf.close()
+
+    def test_prefetcher_surfaces_worker_errors(self):
+        """A crashing source must raise in the consumer, not read as clean
+        end-of-data (an infinite training source 'ending' would silently
+        truncate a run)."""
+        from twingan_tpu.data.pipeline import DevicePrefetcher
+
+        def bad_source():
+            yield {"source": np.zeros((2, 4, 4, 3), np.float32)}
+            raise OSError("tunnel died")
+
+        pf = DevicePrefetcher(bad_source(), depth=2)
+        next(pf)  # first batch fine
+        with pytest.raises(RuntimeError, match="worker failed") as ei:
+            while True:
+                next(pf)
+        assert isinstance(ei.value.__cause__, OSError)
+        pf.close()
+
+    def test_source_smaller_than_batch_rejected(self, tmp_path):
+        """batch > dataset with drop_remainder+repeat would yield nothing
+        forever; the constructor must reject it."""
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.pipeline import TFRecordSource
+        from twingan_tpu.data.tfrecord import list_shards
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(3):
+            PILImage.fromarray(np.full((16, 16, 3), i, np.uint8)).save(d / f"i{i}.png")
+        out = str(tmp_path / "rec")
+        convert_image_folder(str(d), out, num_shards=1)
+        with pytest.raises(ValueError, match="no batch can ever be produced"):
+            TFRecordSource(
+                get_dataset("image_only"), list_shards(out, "train"),
+                PreprocessConfig(output_hw=8), batch_size=8,
+            )
+
+    def test_all_records_failing_raises(self, tmp_path):
+        """A spec that fails on every record (wrong dataset/spec pairing)
+        must error instead of spinning an empty infinite epoch."""
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.pipeline import TFRecordSource
+        from twingan_tpu.data.tfrecord import list_shards
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(4):
+            PILImage.fromarray(np.full((16, 16, 3), i, np.uint8)).save(d / f"i{i}.png")
+        out = str(tmp_path / "rec")
+        convert_image_folder(str(d), out, num_shards=1)
+        # celeba's schema expects attribs/landmarks image_only never wrote.
+        src = TFRecordSource(
+            get_dataset("celeba"), list_shards(out, "train"),
+            PreprocessConfig(output_hw=8), batch_size=2, cache=False,
+        )
+        with pytest.raises(RuntimeError, match="every record failed"):
+            next(iter(src))
 
 
 class TestExtraConverters:

@@ -206,6 +206,27 @@ class TestStageRunnerEndToEnd:
         assert summary["8"]["steps"] == 3
         assert CheckpointManager(os.path.join(cfg.train_dir, "8")).latest_step() == 3
 
+    def test_save_cadence_with_non_dividing_scan_stride(self, tmp_path):
+        # Regression (code-review): cadences fired on `cur % N == 0`, which
+        # a rounds_per_scan stride that does not divide save_every_n_steps
+        # NEVER hits — a whole stage could train with zero periodic
+        # checkpoints. Cadence-index crossing must fire instead.
+        cfg = self._run_cfg(
+            tmp_path,
+            start_hw=8,
+            max_hw=8,
+            num_images_per_resolution=84,  # 21 steps at batch 4
+            batch_schedule={8: 4},
+            rounds_per_scan=4,  # strides 4, 8, ... never % 10 == 0
+            save_every_n_steps=10,
+        )
+        summary = StageRunner(cfg).run()
+        assert summary["8"]["steps"] == 21
+        steps = CheckpointManager(os.path.join(cfg.train_dir, "8")).all_steps()
+        # Periodic saves fired when crossing 10 and 20 (at 12 and 20 given
+        # the stride), plus the final save at 21.
+        assert len(steps) >= 3, steps
+
     def test_progressive_run_and_skip(self, tmp_path):
         # Histograms on: the combination histogram-dump + warm-start in one
         # _run_stage once hit a local-import shadowing bug.

@@ -86,6 +86,13 @@ class TFRecordSource:
         self.index = [(si, ri) for si, r in enumerate(self.readers) for ri in range(len(r))]
         if not self.index:
             raise ValueError(f"tfrecord shards for {spec.name} are empty")
+        if repeat and drop_remainder and len(self.index) < batch_size:
+            # Every epoch would drop its only (short) batch: an infinite
+            # iterator that never yields. Fail loudly instead.
+            raise ValueError(
+                f"dataset {spec.name} has {len(self.index)} records but "
+                f"batch_size={batch_size} with drop_remainder — no batch "
+                "can ever be produced")
         # Decoded-sample cache: after one epoch, decode/resize never runs
         # again (image decode on this 1-core host is the pipeline bottleneck;
         # the augmentation stays random because it runs on device).
@@ -182,12 +189,23 @@ class TFRecordSource:
                 continue
             order = self._rng.permutation(len(self.index))
             batch: list = []
+            failures = 0
             for idx in order:
                 si, ri = self.index[idx]
                 try:
                     batch.append(self._sample(si, ri))
-                except Exception:
-                    continue  # skip undecodable records like the ref converters
+                    failures = 0
+                except Exception as e:
+                    # Skip undecodable records like the ref converters — but
+                    # a spec that fails on EVERY record (wrong dataset/spec
+                    # pairing) must error, not spin an empty infinite epoch.
+                    failures += 1
+                    if failures >= len(self.index):
+                        raise RuntimeError(
+                            f"every record failed to parse/decode (last: {e!r}) "
+                            "— wrong --dataset_name for these shards?"
+                        ) from e
+                    continue
                 if len(batch) == self.batch_size:
                     yield self._finalize(_collate(batch))
                     batch = []
@@ -251,6 +269,7 @@ class DevicePrefetcher:
         self.to_device = to_device
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -285,6 +304,8 @@ class DevicePrefetcher:
                 if self._stop.is_set():
                     return
                 self._put(batch)
+        except BaseException as e:  # surface in __next__, not as fake EOF
+            self._error = e
         finally:
             while not self._stop.is_set():
                 try:
@@ -299,6 +320,11 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is None:
+            if self._error is not None:
+                # A worker crash (device_put failure, source error) must not
+                # masquerade as clean end-of-data — an infinite training
+                # source "ending" would otherwise silently truncate a run.
+                raise RuntimeError("DevicePrefetcher worker failed") from self._error
             raise StopIteration
         return item
 

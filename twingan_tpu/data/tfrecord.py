@@ -123,6 +123,13 @@ class TFRecordReader:
             if masked_crc32c(self._mm[pos : pos + 8]) != len_crc:
                 raise IOError(f"corrupt TFRecord {self.path} at byte {pos}")
             payload_off = pos + 12
+            if payload_off + length + 4 > size:
+                # Framing check independent of verify: a shard truncated
+                # mid-payload (crashed converter) must not index a record
+                # whose bytes are missing — mmap slices would silently clamp.
+                raise IOError(
+                    f"truncated TFRecord {self.path}: record at byte {pos} "
+                    f"claims {length} payload bytes past EOF")
             if verify:
                 payload = self._mm[payload_off : payload_off + length]
                 (data_crc,) = struct.unpack_from("<I", self._mm, payload_off + length)
@@ -153,9 +160,17 @@ class TFRecordReader:
 
 def list_shards(dataset_dir: str, split: str) -> list[str]:
     """All tfrecord shard files for a split, sorted (reference file_pattern
-    '%s_%s_*.tfrecord' % (dataset_name, split))."""
+    '%s_%s_*.tfrecord' % (dataset_name, split)).
+
+    The split must match as a '_'-delimited token (a dataset named
+    'pretrain_faces' must not match split='train') and the name must end in
+    '.tfrecord' (skips converter temp files like '*.tfrecord.tmp').
+    """
     out = []
     for name in sorted(os.listdir(dataset_dir)):
-        if split in name and (name.endswith(".tfrecord") or ".tfrecord" in name):
+        if not name.endswith(".tfrecord"):
+            continue
+        stem = name[: -len(".tfrecord")]
+        if split in stem.split("_") or stem == split:
             out.append(os.path.join(dataset_dir, name))
     return out

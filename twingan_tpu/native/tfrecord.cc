@@ -91,6 +91,11 @@ int64_t twin_scan_tfrecord(const char* path, int64_t* offsets, int64_t* lengths,
                            int64_t capacity, int verify) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  // File size up front: fseek past EOF "succeeds", so the skip path needs
+  // an explicit bound to reject records truncated mid-payload.
+  fseek(f, 0, SEEK_END);
+  int64_t file_size = ftell(f);
+  fseek(f, 0, SEEK_SET);
   int64_t count = 0;
   uint8_t header[12];
   // Payload staging buffer for verification reads.
@@ -117,6 +122,10 @@ int64_t twin_scan_tfrecord(const char* path, int64_t* offsets, int64_t* lengths,
       break;
     }
     int64_t payload_off = pos + 12;
+    if (payload_off + (int64_t)len + 4 > file_size) {
+      result = -(pos + 1);  // truncated: framing claims bytes past EOF
+      break;
+    }
     if (count < capacity) {
       offsets[count] = payload_off;
       lengths[count] = (int64_t)len;

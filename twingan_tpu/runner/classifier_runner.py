@@ -153,6 +153,12 @@ def main(argv=None):
     if restored is not None:
         state = restored
         print(f"resumed at step {int(state.step)}")
+    elif args.mode != "train":
+        # eval/tags/gradcam on random init would print plausible-looking
+        # garbage; only train may legitimately start without a checkpoint.
+        raise FileNotFoundError(
+            f"--mode={args.mode} needs a trained checkpoint in "
+            f"{args.train_dir}, found none")
 
     if args.mode == "train":
         save_config_snapshot(args.train_dir, cfg)

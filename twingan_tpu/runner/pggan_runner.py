@@ -132,6 +132,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every_n_steps", type=int, default=10)
     p.add_argument("--save_every_n_steps", type=int, default=2000)
     p.add_argument("--log_image_every_n_iter", type=int, default=2000)
+    p.add_argument("--log_histograms_every_n_iter", type=int, default=0)
+    p.add_argument("--keep_checkpoints", type=int, default=3)
+    p.add_argument("--checkpoint_path", default="",
+                   help="warm-start the FIRST stage from this external "
+                        "checkpoint dir (reference checkpoint_path flag)")
+    p.add_argument("--checkpoint_exclude_scopes", default="",
+                   help="comma-separated param path prefixes to drop from "
+                        "the warm start (reference flag of the same name)")
+    p.add_argument("--max_nan_recoveries", type=int, default=3)
+    p.add_argument("--max_stages_per_run", type=int, default=0,
+                   help="exit after N stages (re-exec-per-stage workflow "
+                        "that bounds the axon client's host-memory leak)")
     p.add_argument("--profile_stage_steps", type=int, default=0)
     p.add_argument("--rounds_per_scan", type=int, default=1)
     p.add_argument("--num_devices", type=int, default=0,
@@ -228,6 +240,13 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         log_every_n_steps=args.log_every_n_steps,
         save_every_n_steps=args.save_every_n_steps,
         log_image_every_n_iter=args.log_image_every_n_iter,
+        log_histograms_every_n_iter=args.log_histograms_every_n_iter,
+        keep_checkpoints=args.keep_checkpoints,
+        checkpoint_path=args.checkpoint_path,
+        checkpoint_exclude_scopes=tuple(
+            s for s in args.checkpoint_exclude_scopes.split(",") if s),
+        max_nan_recoveries=args.max_nan_recoveries,
+        max_stages_per_run=args.max_stages_per_run,
         profile_stage_steps=args.profile_stage_steps,
         rounds_per_scan=args.rounds_per_scan,
         num_devices=args.num_devices,

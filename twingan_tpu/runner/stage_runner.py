@@ -286,8 +286,16 @@ class StageRunner:
                 list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
                 pp, batch, seed=cfg.seed + 1, yield_uint8=True,
             )
-            pf = DevicePrefetcher(UnpairedSource(a, b), depth=2,
-                                  sharding=self.batch_sharding, to_device=to_device)
+            pf = DevicePrefetcher(
+                UnpairedSource(a, b), depth=2, sharding=self.batch_sharding,
+                to_device=to_device,
+                # Only what the trainer consumes: UnpairedSource's a_*/b_*
+                # duplicates of the image tensors would otherwise double the
+                # host->device bytes through the tunnel (and the axon
+                # client's per-payload leak) on every real-data run.
+                keys=("source", "target", "source_embedding",
+                      "target_embedding", "conditional_labels"),
+            )
             return iter(pf), pf.close
         def to_target(it):
             for item in it:
@@ -479,6 +487,7 @@ class StageRunner:
         self._nan_recoveries = 0
         profiled = False
         profiling_active = False
+        cadence_idx: dict = {}  # per-cadence last-fired index (see due())
         try:
             step = start_step
             while step < steps:
@@ -526,7 +535,23 @@ class StageRunner:
                     print(f"[stage {tag}] non-finite loss; restored checkpoint "
                           f"at step {step} (recovery {nan_recoveries}/{cfg.max_nan_recoveries})")
                     continue
-                if cur % cfg.log_every_n_steps < max(1, cfg.rounds_per_scan) or cur >= steps:
+                # Cadences fire when cur crosses a multiple of the period
+                # (cadence-index crossing), not on cur % N == 0: scan
+                # advances `cur` in rounds_per_scan strides, so an exact-
+                # multiple check is silently never hit when the stride does
+                # not divide the cadence (e.g. resuming from a non-multiple
+                # step) — a missed save cadence would leave a whole stage
+                # uncheckpointed.
+                def due(every: int, attr: str) -> bool:
+                    if not every:
+                        return False
+                    idx = cur // every
+                    if idx > cadence_idx.get(attr, start_step // every):
+                        cadence_idx[attr] = idx
+                        return True
+                    return False
+
+                if due(cfg.log_every_n_steps, "log") or cur >= steps:
                     g = float(metrics.get("generator_loss", np.nan))
                     d = float(metrics.get("discriminator_loss", np.nan))
                     now = time.time()
@@ -543,14 +568,11 @@ class StageRunner:
                     writer.scalars(cur, {"rounds_per_sec": rate})
                     print(f"[stage {tag}] step {cur}/{steps} "
                           f"g={g:.4f} d={d:.4f} {rate:.2f} rounds/s")
-                if cur % cfg.save_every_n_steps == 0 and cur > start_step:
+                if due(cfg.save_every_n_steps, "save"):
                     self._save(cm, cur, state)
-                if (cfg.log_image_every_n_iter and cur % cfg.log_image_every_n_iter == 0
-                        and self.is_coordinator):
+                if due(cfg.log_image_every_n_iter, "image") and self.is_coordinator:
                     self._dump_samples(trainer, state, stage_dir, cur, fixed_batch)
-                if (cfg.log_histograms_every_n_iter
-                        and cur % cfg.log_histograms_every_n_iter == 0
-                        and self.is_coordinator):
+                if due(cfg.log_histograms_every_n_iter, "hist") and self.is_coordinator:
                     flat = flax.traverse_util.flatten_dict(
                         flax.serialization.to_state_dict(state.params), sep="/"
                     )
@@ -560,6 +582,11 @@ class StageRunner:
             self._save(cm, int(state.step), state)
             self._barrier(f"stage_end_{tag}")
         finally:
+            if profiling_active:
+                # Stage ended (or failed) before profile_stage_steps
+                # elapsed; a leaked active trace would crash the next
+                # stage's start_trace.
+                jax.profiler.stop_trace()
             close_data()
             writer.close()
         wall = time.time() - t_start
