@@ -225,17 +225,37 @@ class TestUtilMisc:
         names = ["a.png", "b.png"]
         tag_names = [f"t{i}" for i in range(trainer.cfg.num_classes)]
         # Map every label to the hair group only -> eye color always missing
-        # -> the filter suppresses every tag line's content.
+        # -> the filter suppresses every prediction, and images with no
+        # surviving tags are SKIPPED entirely (reference 'Skip empty
+        # predictions', train_image_classifier.py).
         groups = {i: "2" for i in range(trainer.cfg.num_classes)}
         path = trainer.write_tags(state, images, names, tag_names,
                                   str(tmp_path / "tags.txt"), threshold=0.1,
                                   labels_id_to_group=groups)
-        lines = open(path).read().splitlines()
-        assert [l.split("\t")[1] for l in lines] == ["", ""]
+        assert open(path).read() == ""
+        # Without the group filter, tags above threshold are written.
+        path2 = trainer.write_tags(state, images, names, tag_names,
+                                   str(tmp_path / "tags2.txt"), threshold=0.0)
+        lines = open(path2).read().splitlines()
+        assert len(lines) == 2 and all(l.split("\t")[1] for l in lines)
 
     def _tiny_cfg(self):
         return ClassifierConfig(network="lenet", num_classes=4, multi_label=True,
                                 image_hw=28, batch_size=2)
+
+    def test_auc_exact_and_tie_corrected(self):
+        # Separable: all positives above all negatives -> 1.0.
+        assert _auc(np.array([0.9, 0.8, 0.2, 0.1]),
+                    np.array([1, 1, 0, 0])) == pytest.approx(1.0)
+        # Uninformative single constant score -> midranks give exactly 0.5
+        # (argsort tie-breaking would return an arbitrary biased value).
+        assert _auc(np.full(10, 0.7),
+                    np.array([1, 0] * 5)) == pytest.approx(0.5)
+        # Hand-computed tie case: pos={0.5,0.3}, neg={0.5,0.1}.
+        # P(pos>neg)+0.5*P(pos=neg) over 4 pairs = (0.5+1+0+1*0.5*0... )
+        # pairs: (.5,.5)=0.5, (.5,.1)=1, (.3,.5)=0, (.3,.1)=1 -> 2.5/4.
+        assert _auc(np.array([0.5, 0.3, 0.5, 0.1]),
+                    np.array([1, 1, 0, 0])) == pytest.approx(2.5 / 4)
 
     def test_heatmap_and_patches(self):
         from twingan_tpu.utils.misc import get_random_patches, grayscale_to_heatmap

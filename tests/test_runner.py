@@ -567,6 +567,25 @@ class TestOptimizerParity:
         params2 = optax.apply_updates(params, upd)
         assert float(params2["w"][0]) < 2.0
 
+    def test_schedule_counts_global_steps_not_updates(self):
+        """The reference drives every LR schedule from the shared global
+        step (model_inheritor.py:471-513). A discriminator updating
+        (n_critic-1) times per global step must decay at the same rate as
+        the generator: build_schedule stretches its step units."""
+        from twingan_tpu.train.optimizers import build_schedule
+
+        cfg = OptimizerConfig(learning_rate=1.0,
+                              learning_rate_decay_type="exponential",
+                              decay_steps=10,
+                              learning_rate_decay_factor=0.5)
+        g = build_schedule(cfg, updates_per_step=1)
+        d = build_schedule(cfg, updates_per_step=3)
+        # After 10 global steps: G has done 10 updates, D has done 30 —
+        # both must sit at the same decayed LR.
+        assert float(g(10)) == pytest.approx(float(d(30)))
+        assert float(g(25)) == pytest.approx(float(d(75)))
+        assert float(g(10)) == pytest.approx(0.5)
+
     def test_weight_decay_respects_frozen_scopes(self):
         from twingan_tpu.train.optimizers import build_optimizer
 

@@ -338,6 +338,10 @@ class Encoder(nn.Module):
                 y = ops.pixel_norm(y)
             net = ResBlockAdd(cfg, ch_out, name=f"block_{cur_hw}_res")(net, y, ctx)
             skips.blocks[cur_hw] = net
+            if target_hw is not None and cur_hw == target_hw:
+                # Early exit must happen BEFORE the pool, or the returned
+                # feature map would be target_hw/2.
+                return net, skips
             net = ops.avg_pool_2x(net)
             if stage == max_stage and cfg.is_growing:
                 net = ops.blend(net, shrunk, alpha)

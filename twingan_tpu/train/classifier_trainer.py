@@ -204,6 +204,11 @@ class ClassifierTrainer:
                         p, threshold, labels_id_to_group))
                 order = np.argsort(-p)[:top_k]
                 tags = [tag_names[i] for i in order if p[i] >= threshold]
+                if not tags:
+                    # Reference skips images with no surviving predictions
+                    # (train_image_classifier.py 'Skip empty predictions') —
+                    # an empty row would pass as a labeled face downstream.
+                    continue
                 f.write(f"{name}\t{','.join(tags)}\n")
         return out_path
 
@@ -226,13 +231,26 @@ class ClassifierTrainer:
 
 
 def _auc(scores: np.ndarray, labels: np.ndarray) -> float:
-    """Exact ROC AUC via the rank statistic."""
+    """Exact ROC AUC via the rank statistic (midranks for score ties, so
+    saturated/duplicate scores match sklearn's tie-corrected value)."""
     pos = scores[labels > 0.5]
     neg = scores[labels <= 0.5]
     if len(pos) == 0 or len(neg) == 0:
         return 0.5
-    order = np.argsort(np.concatenate([pos, neg]))
-    ranks = np.empty_like(order, dtype=np.float64)
-    ranks[order] = np.arange(1, len(order) + 1)
+    allscores = np.concatenate([pos, neg])
+    order = np.argsort(allscores)
+    sorted_scores = allscores[order]
+    ranks_sorted = np.arange(1, len(allscores) + 1, dtype=np.float64)
+    # Average ranks within each tied run.
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        if j > i:
+            ranks_sorted[i : j + 1] = ranks_sorted[i : j + 1].mean()
+        i = j + 1
+    ranks = np.empty(len(allscores), dtype=np.float64)
+    ranks[order] = ranks_sorted
     r_pos = ranks[: len(pos)].sum()
     return float((r_pos - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg)))

@@ -8,10 +8,11 @@ Step structure: the reference ticks one `n_critic_counter` per session.run and
 applies G when counter % n_critic == 0, else D — while *computing* both
 gradient sets every step inside tf.cond (image_generation.py:587-662). Here
 G-steps and D-steps are separate jitted functions, so each step computes only
-the gradients it applies; `round_step` fuses one G + (n_critic-1) D updates
-into a single compiled unit for on-device step loops. Semantics preserved:
+the gradients it applies; `round_step` host-dispatches one G + (n_critic-1)
+D jitted steps per round, and `scan_rounds` (train/base.py) is the fused
+single-dispatch on-device loop for hot paths. Semantics preserved:
 global step advances only on G updates; gdrop strength follows the
-generator-loss EMA.
+clipped current generator loss (reference image_generation.py:563-585).
 """
 
 from __future__ import annotations
@@ -142,7 +143,10 @@ class GanTrainer(BaseGanTrainer):
             if cfg.use_ttur
             else cfg.opt
         )
-        self.dis_tx = build_optimizer(d_opt_cfg)
+        # D updates (n_critic-1) times per global step; stretch its
+        # schedule so decayed LRs track the global step (ref parity).
+        self.dis_tx = build_optimizer(
+            d_opt_cfg, updates_per_step=max(1, cfg.n_critic - 1))
 
     # ------------------------------------------------------------------ #
     # Initialization
@@ -298,9 +302,7 @@ class GanTrainer(BaseGanTrainer):
             state.params[GEN]
         )
         updates, new_opt = self.gen_tx.update(grads, state.gen_opt_state, state.params[GEN])
-        new_gen_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params[GEN], updates
-        )
+        new_gen_params = optax.apply_updates(state.params[GEN], updates)
         new_ema, new_strength = update_gdrop_state(
             state.gen_loss_ema, g_loss, state.step, cfg.gdrop_coef, cfg.gdrop_lim, cfg.gdrop_exp
         )
@@ -378,9 +380,7 @@ class GanTrainer(BaseGanTrainer):
             loss_fn, has_aux=True
         )(state.params[DIS])
         updates, new_opt = self.dis_tx.update(grads, state.dis_opt_state, state.params[DIS])
-        new_dis_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params[DIS], updates
-        )
+        new_dis_params = optax.apply_updates(state.params[DIS], updates)
         new_state = state.replace(
             critic_step=state.critic_step + 1,
             params={**state.params, DIS: new_dis_params},

@@ -48,22 +48,34 @@ class OptimizerConfig:
         return dataclasses.replace(self, **kw)
 
 
-def build_schedule(cfg: OptimizerConfig) -> optax.Schedule:
+def build_schedule(cfg: OptimizerConfig, updates_per_step: int = 1) -> optax.Schedule:
+    """``updates_per_step``: how many times this optimizer updates per
+    GLOBAL step. The reference drives every LR schedule from the shared
+    global step (model_inheritor.py:471-513; the TTUR d_optimizer is built
+    with global_step too), while optax schedules count their own updates —
+    a discriminator updating (n_critic-1) times per global step would decay
+    (n_critic-1)x too fast. Stretching the step units by the ratio makes
+    the optax count measure global steps exactly (the alternation is a
+    fixed 1 G + (n_critic-1) D per round)."""
+    r = max(1, updates_per_step)
     if cfg.learning_rate_decay_type == "fixed":
         return optax.constant_schedule(cfg.learning_rate)
     if cfg.learning_rate_decay_type == "exponential":
         return optax.exponential_decay(
-            cfg.learning_rate, cfg.decay_steps, cfg.learning_rate_decay_factor, staircase=True
+            cfg.learning_rate, cfg.decay_steps * r, cfg.learning_rate_decay_factor, staircase=True
         )
     if cfg.learning_rate_decay_type == "polynomial":
         return optax.polynomial_schedule(
-            cfg.learning_rate, cfg.end_learning_rate, power=1.0, transition_steps=cfg.decay_steps
+            cfg.learning_rate, cfg.end_learning_rate, power=1.0,
+            transition_steps=cfg.decay_steps * r,
         )
     raise ValueError(f"unsupported decay type {cfg.learning_rate_decay_type!r}")
 
 
-def build_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    schedule = build_schedule(cfg)
+def build_optimizer(
+    cfg: OptimizerConfig, updates_per_step: int = 1
+) -> optax.GradientTransformation:
+    schedule = build_schedule(cfg, updates_per_step)
     name = cfg.optimizer
     if name == "adam":
         tx = optax.adam(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.opt_epsilon)

@@ -82,13 +82,18 @@ def update_gdrop_state(
     exp: float,
     ema_decay: float = 0.9,
 ) -> tuple[jax.Array, jax.Array]:
-    """gdrop strength schedule driven by the generator-loss EMA
-    (reference image_generation.py:563-585): after step 100,
-    strength = coef * max(EMA(clip(loss,0,1)) - lim, 0) ** exp."""
+    """gdrop strength schedule (reference image_generation.py:563-585):
+    after step 100, strength = coef * max(clip(loss,0,1) - lim, 0) ** exp.
+
+    Strength is computed from the RAW clipped current loss — the reference
+    creates a 0.9-decay EMA of it but never reads the average (its
+    `ema.apply` op runs purely as a control dependency); the EMA is still
+    maintained here as observability state, matching that quirk exactly.
+    """
     cur = jnp.clip(gen_loss.astype(jnp.float32), 0.0, 1.0)
     new_ema = state_ema * ema_decay + cur * (1.0 - ema_decay)
     gdrop_coef = jnp.where(step > 100, coef, 0.0)
-    strength = gdrop_coef * jnp.power(jnp.maximum(new_ema - lim, 0.0), exp)
+    strength = gdrop_coef * jnp.power(jnp.maximum(cur - lim, 0.0), exp)
     return new_ema, strength
 
 

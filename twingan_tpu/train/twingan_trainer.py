@@ -140,8 +140,12 @@ class TwinGANTrainer(BaseGanTrainer):
             s_dim = cfg.source_embed_dim or cfg.target_embed_dim
             t_dim = cfg.target_embed_dim or cfg.source_embed_dim
             assert s_dim and t_dim, "distillation requires an embedding dim"
-            self.distill[DISTILL_S] = EncoderClassifier(m, output_dim=s_dim)
-            self.distill[DISTILL_T] = EncoderClassifier(m, output_dim=t_dim)
+            # One head per domain, each applied with domain index 0 only —
+            # a num_domains=2 config would create (and checkpoint) a second
+            # norm bank per head that nothing ever uses.
+            m1 = m.replace(num_domains=1)
+            self.distill[DISTILL_S] = EncoderClassifier(m1, output_dim=s_dim)
+            self.distill[DISTILL_T] = EncoderClassifier(m1, output_dim=t_dim)
 
         self.gen_tx = build_optimizer(cfg.opt)
         d_opt_cfg = (
@@ -149,7 +153,10 @@ class TwinGANTrainer(BaseGanTrainer):
             if cfg.use_ttur
             else cfg.opt
         )
-        self.dis_tx = build_optimizer(d_opt_cfg)
+        # D updates (n_critic-1) times per global step; stretch its
+        # schedule so decayed LRs track the global step (ref parity).
+        self.dis_tx = build_optimizer(
+            d_opt_cfg, updates_per_step=max(1, cfg.n_critic - 1))
 
     @property
     def generator_side_keys(self) -> tuple:
@@ -415,7 +422,7 @@ class TwinGANTrainer(BaseGanTrainer):
         gen_side = {k: state.params[k] for k in gen_keys}
         (g_loss, (new_gen_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_side)
         updates, new_opt = self.gen_tx.update(grads, state.gen_opt_state, gen_side)
-        new_gen_side = jax.tree_util.tree_map(lambda p, u_: p + u_, gen_side, updates)
+        new_gen_side = optax.apply_updates(gen_side, updates)
 
         new_ema, new_strength = update_gdrop_state(
             state.gen_loss_ema, g_loss, state.step, cfg.gdrop_coef, cfg.gdrop_lim, cfg.gdrop_exp
@@ -511,7 +518,7 @@ class TwinGANTrainer(BaseGanTrainer):
         dis_side = {k: state.params[k] for k in self.discriminator_side_keys}
         (d_loss, (new_dis_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(dis_side)
         updates, new_opt = self.dis_tx.update(grads, state.dis_opt_state, dis_side)
-        new_dis_side = jax.tree_util.tree_map(lambda p, u_: p + u_, dis_side, updates)
+        new_dis_side = optax.apply_updates(dis_side, updates)
         new_model_state = dict(state.model_state)
         for k in self.discriminator_side_keys:
             new_model_state[k] = new_dis_state[k]
@@ -538,25 +545,32 @@ class TwinGANTrainer(BaseGanTrainer):
     ) -> jax.Array:
         """sources -> target domain (or the reverse). Equivalent to the
         reference outputs custom_generated_t_style_source / ..._s_... with
-        inference-mode (moving-average) statistics."""
+        inference-mode (moving-average) statistics. On a growing-stage
+        config the fade-in alpha is derived from state.step like the
+        training pass (the reference's placeholder path reuses the live
+        alpha_grow tensor, image_generation.py:1016) — without it the newly
+        trained high-res block would be ignored at eval."""
         assert direction in ("s2t", "t2s")
         src_domain = DOMAIN_S if direction == "s2t" else DOMAIN_T
         out_domain = DOMAIN_T if direction == "s2t" else DOMAIN_S
+        alpha = self._alpha(state.step)
         params, model_state = state.params, state.model_state
         if state.gen_ema_params is not None:
             # Moving-average eval weights (reference model_inheritor.py:1150).
             params = {**params, **state.gen_ema_params}
         (code, skips), _ = apply_model(
-            self.enc, params[ENC], model_state[ENC], images, domain=src_domain, train=False,
+            self.enc, params[ENC], model_state[ENC], images, alpha=alpha,
+            domain=src_domain, train=False,
         )
         if self.cfg.use_style_embedding and style is None:
             style_out, _ = apply_model(
                 self.enc_style, params[ENC_STYLE], model_state[ENC_STYLE], images,
-                domain=src_domain, train=False,
+                alpha=alpha, domain=src_domain, train=False,
             )
             style = style_out
         (img, _), _ = apply_model(
-            self.gen, params[GEN], model_state[GEN], code, domain=out_domain, style=style,
+            self.gen, params[GEN], model_state[GEN], code, alpha=alpha,
+            domain=out_domain, style=style,
             unet_skips=skips if self.cfg.use_unet else None, train=False,
         )
         return img
