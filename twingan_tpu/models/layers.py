@@ -251,76 +251,26 @@ class DomainNorm(nn.Module):
         bank = stats[ctx.domain]
 
         if ctx.train:
-            if self.num_groups and self.num_groups > 1:
-                # Per-group (per-device-shard) statistics — parity with the
-                # reference's per-clone moments (each GPU clone normalizes
-                # with its own batch moments regardless of norm type).
-                g = self.num_groups
-                b = xf.shape[0]
-                assert b % g == 0, (b, g)
-                xg = xf.reshape(g, b // g, *xf.shape[1:])
+            # One code path for grouped and global statistics: the global
+            # case is exactly the grouped math at num_groups=1 (a [1, C]
+            # group reduces to the full-batch moments). Per-group (g > 1)
+            # is parity with the reference's per-clone moments — each GPU
+            # clone normalizes with its own batch moments regardless of
+            # norm type; sync_axis instead psum-syncs the g=1 moments
+            # across devices (the improved 'synced BN' option).
+            g = self.num_groups if (self.num_groups and self.num_groups > 1) else 1
+            b = xf.shape[0]
+            assert b % g == 0, (b, g)
+            xg = xf.reshape(g, b // g, *xf.shape[1:])
+            if g == 1 and self.sync_axis:
+                mean, var = norms_ops.moments(xf, (0, 1, 2), axis_name=self.sync_axis)
+                gmean, gvar = mean[None], var[None]
+            else:
                 gmean = jnp.mean(xg, axis=(1, 2, 3))            # [g, C]
                 gvar = jnp.mean(
                     jnp.square(xg - gmean[:, None, None, None, :]), axis=(1, 2, 3)
                 )
-                if renorm:
-                    clip = ctx.renorm_clip or {
-                        "rmax": norms_ops.RENORM_RMAX[-1],
-                        "rmin": norms_ops.RENORM_RMIN[-1],
-                        "dmax": norms_ops.RENORM_DMAX[-1],
-                    }
-                    state = {k: bank[k].value for k in
-                             ("renorm_mean", "renorm_mean_weight",
-                              "renorm_stddev", "renorm_stddev_weight")}
-                    # r/d per group against the shared renorm EMAs
-                    # ([g, C] broadcasts over the [C] state).
-                    r, d_corr, _ = norms_ops.batch_renorm_correction(
-                        gmean, gvar, state, clip, momentum=self.renorm_decay, eps=eps
-                    )
-                    y = norms_ops.normalize(
-                        xg, gmean[:, None, None, None, :],
-                        gvar[:, None, None, None, :], None, None, eps=eps,
-                    )
-                    y = (y * r[:, None, None, None, :]
-                         + d_corr[:, None, None, None, :]).reshape(xf.shape)
-                else:
-                    y = norms_ops.normalize(
-                        xg, gmean[:, None, None, None, :],
-                        gvar[:, None, None, None, :], None, None, eps=eps,
-                    ).reshape(xf.shape)
-                if gamma is not None:
-                    y = y * gamma
-                if beta is not None:
-                    y = y + beta
-                if self.is_mutable_collection("batch_stats") and not self.is_initializing():
-                    if renorm:
-                        # Shared EMAs advance with the group-averaged
-                        # moments (the reference's clones each update the
-                        # shared EMA; averaging is the SPMD equivalent).
-                        _, _, new_state = norms_ops.batch_renorm_correction(
-                            jnp.mean(gmean, axis=0), jnp.mean(gvar, axis=0),
-                            state, clip, momentum=self.renorm_decay, eps=eps,
-                        )
-                        for k, v in new_state.items():
-                            bank[k].value = v
-                        new_mean, new_var = norms_ops.renorm_moving_moments(
-                            new_state, eps=eps
-                        )
-                        bank["moving_mean"].value = norms_ops.update_moving(
-                            bank["moving_mean"].value, new_mean, decay
-                        )
-                        bank["moving_var"].value = norms_ops.update_moving(
-                            bank["moving_var"].value, new_var, decay
-                        )
-                    else:
-                        bank["moving_mean"].value = norms_ops.update_moving(
-                            bank["moving_mean"].value, jnp.mean(gmean, axis=0), decay
-                        )
-                        bank["moving_var"].value = norms_ops.update_moving(
-                            bank["moving_var"].value, jnp.mean(gvar, axis=0), decay
-                        )
-                return y.astype(x.dtype)
-            mean, var = norms_ops.moments(xf, (0, 1, 2), axis_name=self.sync_axis)
+            clip = state = None
             if renorm:
                 clip = ctx.renorm_clip or {
                     "rmax": norms_ops.RENORM_RMAX[-1],
@@ -328,36 +278,51 @@ class DomainNorm(nn.Module):
                     "dmax": norms_ops.RENORM_DMAX[-1],
                 }
                 state = {k: bank[k].value for k in
-                         ("renorm_mean", "renorm_mean_weight", "renorm_stddev", "renorm_stddev_weight")}
-                r, d_corr, new_state = norms_ops.batch_renorm_correction(
-                    mean, var, state, clip, momentum=self.renorm_decay, eps=eps
+                         ("renorm_mean", "renorm_mean_weight",
+                          "renorm_stddev", "renorm_stddev_weight")}
+                # r/d per group against the shared renorm EMAs
+                # ([g, C] broadcasts over the [C] state).
+                r, d_corr, _ = norms_ops.batch_renorm_correction(
+                    gmean, gvar, state, clip, momentum=self.renorm_decay, eps=eps
                 )
-                y = norms_ops.normalize(xf, mean, var, None, None, eps=eps)
-                y = y * r + d_corr
-                if gamma is not None:
-                    y = y * gamma
-                if beta is not None:
-                    y = y + beta
-                if self.is_mutable_collection("batch_stats") and not self.is_initializing():
+                y = norms_ops.normalize(
+                    xg, gmean[:, None, None, None, :],
+                    gvar[:, None, None, None, :], None, None, eps=eps,
+                )
+                y = (y * r[:, None, None, None, :]
+                     + d_corr[:, None, None, None, :]).reshape(xf.shape)
+            else:
+                y = norms_ops.normalize(
+                    xg, gmean[:, None, None, None, :],
+                    gvar[:, None, None, None, :], None, None, eps=eps,
+                ).reshape(xf.shape)
+            if gamma is not None:
+                y = y * gamma
+            if beta is not None:
+                y = y + beta
+            if self.is_mutable_collection("batch_stats") and not self.is_initializing():
+                # Shared EMAs advance with the group-averaged moments (the
+                # reference's clones each update the shared EMA; averaging
+                # is the SPMD equivalent; at g=1 this is identity).
+                m_mean = jnp.mean(gmean, axis=0)
+                m_var = jnp.mean(gvar, axis=0)
+                if renorm:
+                    _, _, new_state = norms_ops.batch_renorm_correction(
+                        m_mean, m_var, state, clip,
+                        momentum=self.renorm_decay, eps=eps,
+                    )
                     for k, v in new_state.items():
                         bank[k].value = v
                     # Moving mean/var track the debiased renorm moments.
-                    new_mean, new_var = norms_ops.renorm_moving_moments(new_state, eps=eps)
-                    bank["moving_mean"].value = norms_ops.update_moving(
-                        bank["moving_mean"].value, new_mean, decay
+                    m_mean, m_var = norms_ops.renorm_moving_moments(
+                        new_state, eps=eps
                     )
-                    bank["moving_var"].value = norms_ops.update_moving(
-                        bank["moving_var"].value, new_var, decay
-                    )
-            else:
-                y = norms_ops.normalize(xf, mean, var, gamma, beta, eps=eps)
-                if self.is_mutable_collection("batch_stats") and not self.is_initializing():
-                    bank["moving_mean"].value = norms_ops.update_moving(
-                        bank["moving_mean"].value, mean, decay
-                    )
-                    bank["moving_var"].value = norms_ops.update_moving(
-                        bank["moving_var"].value, var, decay
-                    )
+                bank["moving_mean"].value = norms_ops.update_moving(
+                    bank["moving_mean"].value, m_mean, decay
+                )
+                bank["moving_var"].value = norms_ops.update_moving(
+                    bank["moving_var"].value, m_var, decay
+                )
         else:
             y = norms_ops.normalize(
                 xf, bank["moving_mean"].value, bank["moving_var"].value, gamma, beta, eps=eps
