@@ -307,6 +307,17 @@ class TestPreprocess:
         multi = jnp.concatenate([x, x], axis=-1)
         assert postprocess_image(multi, "rgb").shape[-1] == 1
 
+    def test_gray_is_weighted_sum_not_mean(self):
+        """tf.image.rgb_to_grayscale parity: the 0.299/0.587/0.114 weights
+        sum to 1, so pure white must map to 1.0 (a mean would give 1/3)."""
+        from twingan_tpu.data.preprocess import PreprocessConfig, augment_batch
+
+        cfg = PreprocessConfig(output_hw=4, color_space="gray", is_training=False)
+        white = jnp.ones((1, 4, 4, 3), jnp.float32)
+        out = augment_batch(jax.random.PRNGKey(0), white, cfg)
+        assert out.shape[-1] == 1
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
     def test_hue_adjust_hsv_roundtrip(self):
         from twingan_tpu.data.preprocess import _hsv_to_rgb, _rgb_to_hsv
 

@@ -312,6 +312,20 @@ class TestTFImportMapping:
             # Resblock shortcut 1x1 conv (reference pggan_utils.py:334-342).
             "generator/block_16x16x128/shortcut/weights":
                 ("generator", ("block_16_res", "shortcut", "conv", "kernel"), None),
+            # from_rgb blocks carry a shortcut too (maybe_resblock in the
+            # discriminator/encoder from_rgb, nets/pggan.py:230,392) — it
+            # must NOT fall through onto the from_rgb conv kernel.
+            "discriminator_t/from_rgb_256x256/shortcut/weights":
+                ("discriminator_t",
+                 ("from_rgb_256_res", "shortcut", "conv", "kernel"), None),
+            # The sa convs sit inside the arg scope, so they carry norms.
+            "generator/self_attention_64x64x64/sa_f/BatchNorm/beta_s":
+                ("generator",
+                 ("self_attention_64", "sa_f", "norm", "beta_0"), None),
+            "generator/self_attention_64x64x64/sa_h/BatchNorm/moving_variance_t":
+                ("generator",
+                 ("self_attention_64", "sa_h", "norm", "moving_var_1"),
+                 "batch_stats"),
             # Spectral-norm power-iteration vector (reference libs/sn.py:56).
             "discriminator_t/block_8x8x256/Conv/u":
                 ("discriminator_t", ("block_8_conv0", "conv", "u"), "spectral"),

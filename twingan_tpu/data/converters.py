@@ -102,14 +102,18 @@ def convert_image_folder(
             if not chunk and shard > 0:
                 continue
             with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
-                for feats in pool.map(
+                for src_path, feats in zip(chunk, pool.map(
                     lambda p: _load_and_filter(p, min_hw, max_ratio,
                                                min_sharpness=min_sharpness), chunk
-                ):
+                )):
                     if feats is None:
                         continue
                     if extra_features is not None:
-                        extra = extra_features(feats["image/filename"].decode())
+                        # Full source path (list_images walks recursively;
+                        # the basename alone cannot be re-joined for nested
+                        # folders). Callers keying on file NAMES derive the
+                        # basename themselves.
+                        extra = extra_features(src_path)
                         if extra is None:
                             continue
                         feats.update(extra)
@@ -158,7 +162,8 @@ def convert_celeba(
             if len(parts) >= 11:
                 landmarks[parts[0]] = np.asarray([float(v) for v in parts[1:11]], np.float32)
 
-    def extra(filename: str) -> Optional[dict]:
+    def extra(path: str) -> Optional[dict]:
+        filename = os.path.basename(path)  # partition/attrib files key on names
         if filename not in wanted:
             return None
         feats = {
@@ -319,7 +324,8 @@ def convert_tagged_images(
             if len(parts) >= 2:
                 tags[parts[0]] = parts[1]
 
-    def extra(filename: str) -> Optional[dict]:
+    def extra(path: str) -> Optional[dict]:
+        filename = os.path.basename(path)  # tags file keys on file names
         if filename not in tags:
             return None
         return {"image/class/text": tags[filename].encode()}
@@ -387,8 +393,7 @@ def convert_danbooru_folder(
     write_tags_vocab)."""
     _, name_to_index = parse_tags_xml(tags_xml)
 
-    def extra(filename: str) -> Optional[dict]:
-        path = os.path.join(image_dir, filename)
+    def extra(path: str) -> Optional[dict]:
         try:
             _, _, tags = parse_danbooru_file_name(path)
         except (ValueError, OSError):

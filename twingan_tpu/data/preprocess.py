@@ -285,7 +285,13 @@ def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> j
             flips = jax.random.uniform(k_flip, (x.shape[0], 1, 1, 1)) < 0.5
             x = jnp.where(flips, x[:, :, ::-1, :], x)
         if cfg.color_space != "gray" and x.shape[-1] == 3:
-            ordering = jax.random.randint(k_sel, (), 0, 2 if cfg.fast_mode else 4)
+            # Reference distort_color draws ordering from num_cases=4 even
+            # in fast_mode, where cases 1-3 all share the second branch —
+            # a 25%/75% split, not a fair coin (inception_preprocessing
+            # apply_with_random_selector + fast_mode branches).
+            ordering = jax.random.randint(k_sel, (), 0, 4)
+            if cfg.fast_mode:
+                ordering = jnp.minimum(ordering, 1)
             x = distort_color(k_col, x, ordering, cfg.fast_mode)
     if x.shape[1] != cfg.output_hw:
         x = jax.image.resize(
@@ -296,7 +302,9 @@ def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> j
     elif cfg.color_space == "bgr":
         x = x[..., ::-1]
     elif cfg.color_space == "gray" and x.shape[-1] == 3:
-        x = jnp.mean(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
+        # Weighted SUM (tf.image.rgb_to_grayscale): the weights already
+        # normalize to 1 — a mean would divide the luminance by 3.
+        x = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
     return x
 
 

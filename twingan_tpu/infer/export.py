@@ -42,6 +42,21 @@ def export_jax(inferer, output_dir: str, batch_size: int = 1) -> str:
     path = os.path.join(output_dir, "translate.stablehlo")
     with open(path, "wb") as f:
         f.write(exported.serialize())
+    # Companion params npz: the StableHLO artifact bakes the weights in as
+    # constants (swapping checkpoints needs a re-export); the npz carries
+    # the same variables in inspectable/portable form.
+    import flax
+    import numpy as np
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(
+            {"params": inferer.state.params,
+             "model_state": inferer.state.model_state}
+        ),
+        sep="/",
+    )
+    np.savez(os.path.join(output_dir, "params.npz"),
+             **{k: np.asarray(v) for k, v in flat.items()})
     return path
 
 

@@ -100,6 +100,17 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, Optional[str]]]:
                 return net, (layer, rest[1], "conv", "bias"), None
             if leaf == "u":
                 return net, (layer, rest[1], "conv", "u"), "spectral"
+            # The sa convs sit inside the surrounding arg scope, so they
+            # carry the norm too (BatchNorm/InstanceNorm sub-scope).
+            if any(p in ("BatchNorm", "InstanceNorm") for p in rest[2:]):
+                stem, domain = _split_domain(leaf)
+                if stem in _NORM_PARAMS:
+                    ours = f"{_NORM_PARAMS[stem]}_{domain}"
+                    collection = (
+                        "batch_stats"
+                        if stem.startswith(("moving", "renorm")) else None
+                    )
+                    return net, (layer, rest[1], "norm", ours), collection
         return None
 
     # Scope name -> our layer prefix.
@@ -131,8 +142,12 @@ def map_var_name(tf_name: str) -> Optional[Tuple[str, tuple, Optional[str]]]:
                     return None
 
     # Resblock shortcut 1x1 conv (reference pggan_utils.py:334-342, scope
-    # 'shortcut' inside the block scope; ours lives under block_<hw>_res).
-    if "shortcut" in rest[1:] and layer.startswith("block_"):
+    # 'shortcut' inside the block scope; ours lives under <layer>_res).
+    # from_rgb blocks carry one too (maybe_resblock in
+    # discriminator/encoder from_rgb, nets/pggan.py:230,392) — without
+    # this gate their shortcut weights would fall through to the Conv
+    # scan and silently overwrite the from_rgb conv kernel.
+    if "shortcut" in rest[1:] and layer.startswith(("block_", "from_rgb_")):
         if leaf == "weights":
             return net, (f"{layer}_res", "shortcut", "conv", "kernel"), None
         if leaf == "biases":

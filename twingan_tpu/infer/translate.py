@@ -55,20 +55,20 @@ class ImageInferer:
             raise FileNotFoundError(f"no checkpoint in {stage_dir}")
         self.state = restored
 
-        def _translate(images):
-            return self.trainer.translate(self.state, images, self.direction)
-
-        self._translate = jax.jit(_translate)
+        # trainer.translate is already jitted (static trainer/direction);
+        # an extra closure-jit would bake every param into a SECOND
+        # compiled executable (duplicate HBM under the leaky axon client).
+        self._translate = lambda images: self.trainer.translate(
+            self.state, images, self.direction)
 
     def preprocess(self, image: np.ndarray) -> np.ndarray:
         """uint8 HWC -> float [0,1] resized to (image_hw, image_hw) — the
-        reference's placeholder rewiring subgraph (:55-58)."""
-        from PIL import Image as PILImage
+        reference's placeholder rewiring subgraph (:55-58). Delegates to
+        data/preprocess.host_resize (RESHAPE mode) so geometry and the
+        grayscale/2-D edge cases live in exactly one place."""
+        from twingan_tpu.data.preprocess import host_resize
 
-        img = PILImage.fromarray(image).resize(
-            (self.image_hw, self.image_hw), PILImage.BILINEAR
-        )
-        return np.asarray(img, np.float32) / 255.0
+        return host_resize(image, "RESHAPE", self.image_hw)
 
     def infer_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
         batch = np.stack([self.preprocess(im) for im in images])
@@ -108,14 +108,27 @@ def main(argv=None) -> None:
     if out_is_dir:
         os.makedirs(args.output_image_path, exist_ok=True)
 
+    def out_name(path: str) -> str:
+        """Unique output name per input: the path relative to the input dir
+        with separators flattened — basename alone would let a/x.jpg and
+        b/x.jpg silently overwrite each other."""
+        rel = os.path.relpath(path, args.input_image_path)
+        return rel.replace(os.sep, "_")
+
     t0 = time.time()
     done = 0
     for i in range(0, len(paths), args.batch_size):
         chunk = paths[i : i + args.batch_size]
-        outs = inferer.infer_batch([imread_rgb(p_) for p_ in chunk])
+        imgs = [imread_rgb(p_) for p_ in chunk]
+        if len(imgs) < args.batch_size and len(paths) > args.batch_size:
+            # Pad the final partial chunk to the compiled batch shape — a
+            # second shape means a second jit compile (30-400s through the
+            # axon tunnel, CLAUDE.md: 'prefer few distinct shapes').
+            imgs = imgs + [imgs[-1]] * (args.batch_size - len(imgs))
+        outs = inferer.infer_batch(imgs)[: len(chunk)]
         for path, out in zip(chunk, outs):
             dst = (
-                os.path.join(args.output_image_path, os.path.basename(path))
+                os.path.join(args.output_image_path, out_name(path))
                 if out_is_dir
                 else args.output_image_path
             )
