@@ -127,17 +127,30 @@ def main(argv=None) -> None:
             print("written:", path)
 
     elif args.mode == "msssim":
-        if hw < 11:
-            print("resolution < 11: the MS-SSIM window does not fit; skipped")
+        if hw < 16:
+            # 5-level MS-SSIM box-downsamples 4x: hw//16 must be >= 1 (the
+            # ssim window itself auto-shrinks, ops/msssim.py:72).
+            print("resolution < 16: 5-level MS-SSIM does not fit; skipped")
             return
-        fakes, n = [], 0
+        fakes, sources, cycles, n = [], [], [], 0
         for batch in batches:
-            fakes.append(translate(batch["source"]))
-            n += len(fakes[-1])
+            src = np.asarray(batch["source"], np.float32)
+            t_prime = translate(batch["source"])
+            sources.append(src)
+            fakes.append(t_prime)
+            # Cycle fidelity: translate back t_prime -> source domain.
+            cycles.append(np.asarray(
+                inferer.trainer.translate(
+                    inferer.state, jnp.asarray(t_prime), "t2s"
+                ).astype(jnp.float32)))
+            n += len(src)
             if n >= args.num_images:
                 break
         diversity = msssim_eval(fakes)
+        fidelity = pairwise_msssim(np.concatenate(cycles)[: args.num_images],
+                                   np.concatenate(sources)[: args.num_images])
         print(f"translated-set MS-SSIM diversity (lower = more diverse): {diversity:.4f}")
+        print(f"cycle fidelity MS-SSIM s vs s2t2s (higher = better): {fidelity:.4f}")
 
     elif args.mode == "fid":
         from twingan_tpu.evals.metrics import fid, inception_pool_features_fn
@@ -170,8 +183,17 @@ def main(argv=None) -> None:
             from twingan_tpu.runner.classifier_runner import load_trained_classifier
 
             trainer, state = load_trained_classifier(args.classifier_path)
+            cls_hw = trainer.cfg.image_hw
 
             def logits_fn(images):
+                # The classifier was trained at its own image_hw; GAN-
+                # resolution inputs would break fixed-head nets (vgg/lenet
+                # flatten dims) or silently score off-distribution.
+                if images.shape[1] != cls_hw:
+                    images = jax.image.resize(
+                        images,
+                        (images.shape[0], cls_hw, cls_hw, images.shape[-1]),
+                        "bilinear")
                 logits, _ = trainer.model.apply(
                     {"params": state.params, **state.model_state},
                     images, train=False)
@@ -222,13 +244,17 @@ def main(argv=None) -> None:
         from twingan_tpu.train.twingan_trainer import ENC
 
         trainer, state = inferer.trainer, inferer.state
+        # Growing-stage checkpoints need the fade-in alpha (same contract
+        # as translate(), twingan_trainer.py — the Encoder default alpha=0
+        # would ignore the newly trained high-res block).
+        alpha = trainer._alpha(state.step)
         written = 0
         path = os.path.join(args.eval_dir, args.output_single_file_name)
         for batch in batches:
             imgs = jnp.asarray(batch["source"])
             (code, _), _ = apply_model(
                 trainer.enc, state.params[ENC], state.model_state[ENC], imgs,
-                domain=0, train=False,
+                alpha=alpha, domain=0, train=False,
             )
             names = [f"img_{written + i}" for i in range(len(imgs))]
             write_embeddings_csv(path, names, np.asarray(code), append=written > 0)

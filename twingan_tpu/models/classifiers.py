@@ -192,7 +192,7 @@ class Illust2Vec(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, probes=None):
         eps: Dict[str, Any] = {}
-        plan = [(64, 1), (128, 1), (256, 2), (512, 2), (512, 2), (1024, 2)]
+        plan = [(64, 1), (128, 1), (256, 2), (512, 2), (512, 2), (1024, 3)]
         for b, (f, reps) in enumerate(plan, start=1):
             for r in range(1, reps + 1):
                 x = jax.nn.relu(nn.Conv(f, (3, 3), name=f"conv{b}_{r}")(x))

@@ -275,7 +275,8 @@ class InceptionV2(nn.Module):
         x = nn.Conv(8 * in_ch, (7, 7), strides=(2, 2), feature_group_count=in_ch,
                     use_bias=False, name="Conv2d_1a_dw")(x)
         x = nn.Conv(64, (1, 1), use_bias=False, name="Conv2d_1a_pw")(x)
-        x = jax.nn.relu(nn.BatchNorm(use_running_average=not train, name="Conv2d_1a_bn")(x))
+        x = jax.nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+                                     epsilon=0.001, name="Conv2d_1a_bn")(x))
         x = _max_pool(x, 3, 2)
         x = ConvBNRelu(64, (1, 1), name="Conv2d_2b_1x1")(x, train)
         x = ConvBNRelu(192, (3, 3), name="Conv2d_2c_3x3")(x, train)

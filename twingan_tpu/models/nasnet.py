@@ -69,13 +69,19 @@ class _Squeeze(nn.Module):
 
 def _fit(prev, cur_hw, features, train, name_parent, idx=0):
     """Match h_prev to the current cell's spatial size / channels
-    (nasnet_utils factorized reduction, approximated by a strided squeeze)."""
-    stride = prev.shape[1] // cur_hw
+    (nasnet_utils factorized reduction, approximated by a strided squeeze).
+    Ceil-division stride + SAME padding so odd sizes (299/331 inputs:
+    83 -> 42) land exactly on the current cell's spatial size."""
+    stride = -(-prev.shape[1] // cur_hw)  # ceil
     return _Squeeze(features, stride=max(stride, 1),
                     name=f"{name_parent}_fit{idx}")(prev, train)
 
 
 class _NormalCell(nn.Module):
+    """Exact NasNetANormalCell genotype (nasnet_utils.py:428-452):
+    operations/hiddenstate_indices pairs over s0=h_prev(fit), s1=h(squeeze);
+    used_hiddenstates=[1,0,...] keeps s1 + the five new states -> 6f out."""
+
     features: int
     use_drop_path: bool = False  # static gate (base keep_prob < 1 and train)
 
@@ -88,15 +94,19 @@ class _NormalCell(nn.Module):
             if (train and self.use_drop_path) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
-        y1 = dp(_SepConv(f, 3, name="s1a")(h1, train)) + h1
-        y2 = dp(_SepConv(f, 3, name="s2a")(h0, train)) + dp(_SepConv(f, 5, name="s2b")(h1, train))
-        y3 = dp(nn.avg_pool(h1, (3, 3), (1, 1), "SAME")) + h0
-        y4 = dp(nn.avg_pool(h0, (3, 3), (1, 1), "SAME")) + dp(nn.avg_pool(h0, (3, 3), (1, 1), "SAME"))
-        y5 = dp(_SepConv(f, 5, name="s5a")(h0, train)) + dp(_SepConv(f, 3, name="s5b")(h0, train))
-        return jnp.concatenate([y1, y2, y3, y4, y5], axis=-1)
+        y1 = dp(_SepConv(f, 5, name="s1a")(h0, train)) + dp(_SepConv(f, 3, name="s1b")(h1, train))
+        y2 = dp(_SepConv(f, 5, name="s2a")(h1, train)) + dp(_SepConv(f, 3, name="s2b")(h1, train))
+        y3 = dp(nn.avg_pool(h0, (3, 3), (1, 1), "SAME")) + h1
+        y4 = dp(nn.avg_pool(h1, (3, 3), (1, 1), "SAME")) + dp(nn.avg_pool(h1, (3, 3), (1, 1), "SAME"))
+        y5 = dp(_SepConv(f, 3, name="s5a")(h0, train)) + h0
+        return jnp.concatenate([h1, y1, y2, y3, y4, y5], axis=-1)
 
 
 class _ReductionCell(nn.Module):
+    """Exact NasNetAReductionCell genotype (nasnet_utils.py:455-478):
+    indices [0,1,0,1,0,1,3,2,2,0]; stride 2 on s0/s1 inputs, stride 1 on
+    new states; used_hiddenstates=[1,1,1,0,...] -> concat z2..z5 = 4f."""
+
     features: int
     use_drop_path: bool = False
 
@@ -107,11 +117,11 @@ class _ReductionCell(nn.Module):
             if (train and self.use_drop_path) else (lambda v: v)
         h1 = _Squeeze(f, name="sq_h")(h, train)
         h0 = _fit(h_prev, h.shape[1], f, train, "prev")
-        z1 = dp(_SepConv(f, 7, 2, name="r1a")(h0, train)) + dp(_SepConv(f, 5, 2, name="r1b")(h1, train))
-        z2 = dp(nn.max_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 7, 2, name="r2b")(h0, train))
-        z3 = dp(nn.avg_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 5, 2, name="r3b")(h0, train))
-        z4 = dp(nn.max_pool(h1, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 3, name="r4b")(z1, train))
-        z5 = dp(nn.avg_pool(z1, (3, 3), (1, 1), "SAME")) + z2
+        z1 = dp(_SepConv(f, 5, 2, name="r1a")(h0, train)) + dp(_SepConv(f, 7, 2, name="r1b")(h1, train))
+        z2 = dp(nn.max_pool(h0, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 7, 2, name="r2b")(h1, train))
+        z3 = dp(nn.avg_pool(h0, (3, 3), (2, 2), "SAME")) + dp(_SepConv(f, 5, 2, name="r3b")(h1, train))
+        z4 = z2 + dp(nn.avg_pool(z1, (3, 3), (1, 1), "SAME"))
+        z5 = dp(_SepConv(f, 3, name="r5a")(z1, train)) + dp(nn.max_pool(h0, (3, 3), (2, 2), "SAME"))
         return jnp.concatenate([z2, z3, z4, z5], axis=-1)
 
 
@@ -157,7 +167,11 @@ class NASNet(nn.Module):
         base = self.drop_path_keep_prob
         if base >= 1.0:
             return 1.0
-        total = self.num_cells + 2  # + the two mid-stack reduction cells
+        # Reference total: num_cells + 2 reduction cells + 2 imagenet stem
+        # cells (nasnet.py:389-391); ``cell_idx`` here is the true cell
+        # number (stem cells are 0/1, the first normal cell is 2,
+        # nasnet.py:458-459).
+        total = self.num_cells + 4
         layer_ratio = (cell_idx + 1) / total
         kp = 1.0 - layer_ratio * (1.0 - base)
         return 1.0 - jnp.clip(progress, 0.0, 1.0) * (1.0 - kp)
@@ -172,13 +186,18 @@ class NASNet(nn.Module):
                          epsilon=0.001, name="stem_bn")(x)
         f = self.initial_filters
         prev, cur = x, x
-        # Two reduction stem cells (reference stem for imagenet).
+        use_dp = self.drop_path_keep_prob < 1.0
+        # Two reduction stem cells (reference imagenet stem,
+        # nasnet.py:256-266: filter_scaling 1/rate^2 then 1/rate ->
+        # f//4 and f//2; they occupy true cell numbers 0 and 1).
         for i in range(2):
-            nxt = _ReductionCell(f // (2 ** (1 - i)), name=f"stem_cell{i}")(cur, prev, train)
+            nxt = _ReductionCell(
+                f // (2 ** (2 - i)), use_drop_path=use_dp,
+                name=f"stem_cell{i}")(
+                cur, prev, train, keep_prob=self._cell_keep_prob(i, progress))
             prev, cur = cur, nxt
         per_stack = self.num_cells // 3
-        use_dp = self.drop_path_keep_prob < 1.0
-        cell_id = 0
+        cell_id = 2  # true cell number; stem cells took 0 and 1
         for stack in range(3):
             for _ in range(per_stack):
                 nxt = _NormalCell(f, use_drop_path=use_dp, name=f"cell_{cell_id}")(
