@@ -148,9 +148,14 @@ def instance_moments(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def tree_any_nan(tree: Any) -> jax.Array:
-    """True if any leaf contains a non-finite value (debug/failure detection)."""
-    leaves = jax.tree_util.tree_leaves(tree)
-    flags = [jnp.any(~jnp.isfinite(l)) for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
+    """True if any leaf contains a non-finite value (debug/failure detection;
+    the runner's NaN-recovery probes losses directly, this is the pytree
+    form for ad-hoc state inspection)."""
+    flags = [
+        jnp.any(~jnp.isfinite(l))
+        for l in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+    ]
     if not flags:
         return jnp.asarray(False)
     return jnp.any(jnp.stack(flags))

@@ -31,10 +31,13 @@ def power_iteration(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One (or more) rounds of power iteration on a [in, out] matrix.
 
-    Returns (sigma, new_u, v). u and v are gradient-stopped (the iteration is
-    a fixed-point estimator, not a differentiable path), but sigma = v'Wu is
-    evaluated on the live ``w_mat`` so that gradients flow through the
-    normalization, matching the reference (libs/sn.py:86-89).
+    Returns (sigma, new_u, v). u and v are gradient-stopped and sigma = v'Wu
+    is evaluated on the live ``w_mat`` so gradients flow through the
+    normalization — the envelope gradient of the spectral norm (Danskin).
+    DELIBERATE DIVERGENCE from the reference (libs/sn.py:62-89): there the
+    power-iteration chain itself is differentiable (no stop_gradient on
+    u/v), adding iteration-path terms to dW that vanish at the fixed point;
+    the stopped form is the standard Miyato formulation.
     """
     w_stop = lax.stop_gradient(w_mat)
     v = None

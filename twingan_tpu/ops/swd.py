@@ -6,10 +6,15 @@ random_sampling_count=4, random_projection_dim=128)`` and reports scores x1e3
 per Laplacian-pyramid resolution from the training resolution down to 16
 (/root/reference/image_generation.py:867-941, docs/infer_and_eval.md:31).
 
-Algorithm (PGGAN paper / tf.contrib.gan semantics):
+Algorithm (the PGGAN paper's protocol):
 1. Build a Laplacian pyramid of both image sets, levels res, res/2, ..., 16.
 2. At each level extract ``patches_per_image`` random 7x7xC patch descriptors.
-3. Normalize descriptors by the per-channel mean/std of the whole set.
+3. Normalize descriptors by the per-channel mean/std of the whole set —
+   EACH set independently (PGGAN's finalize_descriptors). Note: per-set
+   normalization makes a global mean/scale shift between real and fake
+   invisible to the metric (the paper's choice; tf.contrib.gan's port
+   normalizes per patch, which has the same blind spot); scores here are
+   self-consistent but not numerically interchangeable with contrib's.
 4. Project onto ``random_projection_dim`` random unit directions, sort along
    the patch axis, take mean |sorted_a - sorted_b|; average over
    ``random_sampling_count`` independent samplings.

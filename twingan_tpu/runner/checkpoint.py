@@ -57,9 +57,13 @@ class CheckpointManager:
         self._ckptr.save(path, state_dict, force=True)
         # Multi-host: orbax's save coordinates across processes itself
         # (primary-host writes + internal barrier); pruning is host-side
-        # filesystem work that only one process should do.
-        if jax.process_index() == 0:
-            for old in self.all_steps()[:-keep]:
+        # filesystem work that only one process should do. keep<=0 keeps
+        # everything. The just-written step is never pruned even when it
+        # sorts below existing checkpoints (re-running a stage with a
+        # lower max_steps into an existing dir).
+        if jax.process_index() == 0 and keep > 0:
+            prunable = [s for s in self.all_steps() if s != step]
+            for old in prunable[: -(keep - 1)] if keep > 1 else prunable:
                 import shutil
 
                 shutil.rmtree(self._path(old), ignore_errors=True)
@@ -86,7 +90,23 @@ class CheckpointManager:
         from twingan_tpu.runner.migrate import migrate_state_dict
 
         template = flax.serialization.to_state_dict(template_state)
-        merged, _ = migrate_state_dict(template, raw, reset_paths=())
+        merged, report = migrate_state_dict(template, raw, reset_paths=())
+        # A same-stage resume that carries nothing is a config/checkpoint
+        # mismatch, not a resume — silently returning fresh params (while
+        # the step counter still carries) would train garbage labeled
+        # 'resumed' and prune the good checkpoints.
+        has_params = any(k == "params" for k in template)
+        carried_params = [p for p in report.get("carried", ())
+                          if p.startswith("params")]
+        if has_params and not carried_params:
+            raise ValueError(
+                f"checkpoint in {self.train_dir} matches no parameter of the "
+                "current model (config changed between runs?); refusing a "
+                f"silent fresh start. Report: { {k: len(v) for k, v in report.items()} }")
+        if report.get("shape_mismatch"):
+            print(f"[checkpoint] WARNING: {len(report['shape_mismatch'])} "
+                  f"leaves shape-mismatched on restore and keep fresh init: "
+                  f"{report['shape_mismatch'][:5]}...")
         return flax.serialization.from_state_dict(template_state, merged)
 
 

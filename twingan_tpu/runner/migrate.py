@@ -61,8 +61,15 @@ def migrate_state_dict(
         if any(p in reset_paths for p in path[:1]):
             report["fresh"].append(joined)
             continue
-        if exclude_scopes and any(scope in joined for scope in exclude_scopes):
-            # checkpoint_exclude_scopes (model_inheritor.py:605-632).
+        if exclude_scopes and any(
+            joined.startswith(scope) or any(p == scope for p in path)
+            for scope in exclude_scopes
+        ):
+            # checkpoint_exclude_scopes: PREFIX match like the reference
+            # (model_inheritor.py:617 var.op.name.startswith), plus exact
+            # path-segment match so a bare layer name excludes that layer
+            # anywhere — never bare substring (a scope 'conv0' must not
+            # swallow every 'block_*_conv0' leaf).
             report["fresh"].append(joined)
             continue
         rval = flat_r.get(path)

@@ -135,6 +135,7 @@ class BatchingLocalClient:
             if first is None:
                 return
             batch = [first]
+            shutdown = False
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
@@ -145,7 +146,11 @@ class BatchingLocalClient:
                 except queue_mod.Empty:
                     break
                 if item is None:
-                    return
+                    # Drain-then-stop: the already-collected requests must
+                    # still be answered, or their callers hang for the
+                    # full future timeout.
+                    shutdown = True
+                    break
                 batch.append(item)
             images = [img for img, _ in batch]
             # Pad to the fixed max_batch so only ONE shape ever compiles
@@ -159,6 +164,8 @@ class BatchingLocalClient:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+            if shutdown:
+                return
 
     def do_inference(self, image: np.ndarray) -> np.ndarray:
         from concurrent.futures import Future

@@ -82,7 +82,11 @@ def discriminator_gan_loss(
 
 def perturbed_batch(key: jax.Array, x: jax.Array) -> jax.Array:
     """DRAGAN perturbation: x + 0.5 * std(x) * U(-1, 1), std over the whole
-    minibatch (reference image_generation.py:441-449)."""
+    minibatch. DELIBERATE DIVERGENCE from the reference
+    (image_generation.py:442-447): it indexes tf.nn.moments(...)[1] — the
+    VARIANCE — where the DRAGAN paper's radius uses the standard deviation;
+    for [0,1] images var≈0.08 vs std≈0.29, so the reference perturbs ~3.6x
+    less than intended. The paper's formulation is used here."""
     std = jnp.std(x)
     noise = jax.random.uniform(key, x.shape, x.dtype, -1.0, 1.0)
     return x + 0.5 * std * noise

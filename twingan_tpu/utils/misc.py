@@ -30,11 +30,12 @@ def safe_one_hot_encoding(labels: jax.Array, num_classes: int, dtype=jnp.float32
 
 
 def grayscale_to_heatmap(gray: jax.Array, is_bgr: bool = False) -> jax.Array:
-    """[...,1] grayscale in [0,1] -> RGB heatmap (blue=low, red=high)."""
+    """[...,1] grayscale in [0,1] -> RGB jet heatmap (blue=low, red=high),
+    the reference's exact piecewise formula (util_misc.py:114-128)."""
     g = jnp.clip(gray[..., 0] if gray.shape[-1] == 1 else gray, 0.0, 1.0)
-    r = jnp.clip(2.0 * g - 1.0, 0.0, 1.0)
-    b = jnp.clip(1.0 - 2.0 * g, 0.0, 1.0)
-    green = 1.0 - r - b
+    r = jnp.clip(jnp.minimum(4.0 * g - 1.5, -4.0 * g + 4.5), 0.0, 1.0)
+    green = jnp.clip(jnp.minimum(4.0 * g - 0.5, -4.0 * g + 3.5), 0.0, 1.0)
+    b = jnp.clip(jnp.minimum(4.0 * g + 0.5, -4.0 * g + 2.5), 0.0, 1.0)
     channels = [b, green, r] if is_bgr else [r, green, b]
     return jnp.stack(channels, axis=-1)
 
