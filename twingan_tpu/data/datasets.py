@@ -104,8 +104,12 @@ def _decode_anime_faces(payload, spec: DatasetSpec):
         out["conditional_labels"] = spec.vocab.one_hot(label_text, spec.num_classes)
     elif "image/class/label" in ex:
         hot = np.zeros((spec.num_classes,), np.float32)
-        labels = ex["image/class/label"]
-        hot[np.clip(labels, 0, spec.num_classes - 1)] = 1.0
+        labels = np.asarray(ex["image/class/label"])
+        # Out-of-range ids are DROPPED (all-zero row), matching the
+        # reference's safe_one_hot_encoding (util_misc.py:89-101) — clipping
+        # would silently train the boundary class.
+        valid = labels[(labels >= 0) & (labels < spec.num_classes)]
+        hot[valid] = 1.0
         out["conditional_labels"] = hot
     return out
 
@@ -159,8 +163,12 @@ def _decode_danbooru(payload, spec: DatasetSpec):
         out["target"] = spec.vocab.one_hot(label_text, spec.num_classes)
     elif "image/class/label" in ex:
         hot = np.zeros((spec.num_classes,), np.float32)
-        labels = ex["image/class/label"]
-        hot[np.clip(labels, 0, spec.num_classes - 1)] = 1.0
+        labels = np.asarray(ex["image/class/label"])
+        # Out-of-range ids are DROPPED (all-zero row), matching the
+        # reference's safe_one_hot_encoding (util_misc.py:89-101) — clipping
+        # would silently train the boundary class.
+        valid = labels[(labels >= 0) & (labels < spec.num_classes)]
+        hot[valid] = 1.0
         out["target"] = hot
     return out
 

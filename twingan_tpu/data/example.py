@@ -13,8 +13,10 @@ datasets/dataset_utils.py:40-89):
     Int64List   { repeated int64 value = 1 [packed = true]; }
 
 Values are python types: list[bytes], numpy float32 array, numpy int64 array.
-Decoding is lazy-friendly: the big JPEG bytes field is returned as a zero-copy
-memoryview slice of the record payload.
+The record payload enters as a zero-copy mmap memoryview (TFRecordReader);
+each BytesList element is materialized with one bytes() copy at decode so
+downstream consumers get real bytes (.decode(), hashing) — the copy is
+negligible next to the JPEG decode that follows.
 """
 
 from __future__ import annotations

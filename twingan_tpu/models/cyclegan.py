@@ -91,6 +91,10 @@ class CycleGANGenerator(nn.Module):
 
         def upsample(net, features, name):
             if self.upsample_method == "conv2d_transpose":
+                # Reference parity quirk: layers.conv2d_transpose sits
+                # OUTSIDE the [layers.conv2d] arg_scopes
+                # (nets/cyclegan.py:57-63,106-108), so the default deconv
+                # decoder gets relu but NO instance norm.
                 y = nn.ConvTranspose(features, (3, 3), strides=(2, 2), padding="SAME",
                                      name=f"{name}_deconv")(net)
             else:
@@ -98,7 +102,7 @@ class CycleGANGenerator(nn.Module):
                 b, h, w, c = net.shape
                 y = jax.image.resize(net, (b, h * 2, w * 2, c), method)
                 y = nn.Conv(features, (3, 3), padding="VALID", name=f"{name}_conv")(_reflect_pad(y, 1))
-            y = _InstanceNorm(name=f"{name}_norm")(y)
+                y = _InstanceNorm(name=f"{name}_norm")(y)
             return jax.nn.relu(y)
 
         net = upsample(net, self.num_filters * 2, "decoder1")

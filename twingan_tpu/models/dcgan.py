@@ -62,8 +62,13 @@ class DCGANDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> tuple[jax.Array, Dict]:
         assert x.ndim == 4 and x.shape[1] == x.shape[2]
-        end_points: Dict[str, jax.Array] = {}
         inp_size = x.shape[1]
+        if inp_size & (inp_size - 1):
+            # Reference _validate_image_inputs (nets/dcgan.py:26-34): a
+            # non-power-of-2 size would end above 1x1 and the final reshape
+            # would silently fold spatial positions into the batch dim.
+            raise ValueError(f"DCGAN discriminator needs power-of-2 input, got {inp_size}")
+        end_points: Dict[str, jax.Array] = {}
         net = x
         for i in range(int(math.log2(inp_size))):
             depth_i = self.depth * 2**i

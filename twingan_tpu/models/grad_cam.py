@@ -30,25 +30,28 @@ def grad_cam(
     apply_fn(images, probes=...) -> (logits, end_points) and must expose
     ``layer_name`` as a [B, h, w, c] end point (all zoo models do).
     """
-    logits, eps = apply_fn(images)
-    acts = eps[layer_name]
-    if acts.ndim != 4:
+    # Shape only (no compute): the probe must match the end point's shape,
+    # and the single real forward pass happens inside the grad below
+    # (has_aux returns logits + activations from that same pass).
+    acts_shape = jax.eval_shape(lambda im: apply_fn(im)[1][layer_name], images)
+    if len(acts_shape.shape) != 4:
         raise ValueError(
             f"Grad-CAM needs a spatial [B,h,w,c] end point; {layer_name!r} "
-            f"has shape {acts.shape}. Pick a conv end point."
+            f"has shape {acts_shape.shape}. Pick a conv end point."
         )
-    if class_index is None:
-        class_index = jnp.argmax(logits, axis=-1)
-    class_index = jnp.asarray(class_index)
-    if class_index.ndim == 0:
-        class_index = jnp.broadcast_to(class_index, (logits.shape[0],))
+    if class_index is not None:
+        class_index = jnp.asarray(class_index)
+        if class_index.ndim == 0:
+            class_index = jnp.broadcast_to(class_index, (images.shape[0],))
 
     def score(probe):
-        lg, _ = apply_fn(images, probes={layer_name: probe})
-        picked = jnp.take_along_axis(lg, class_index[:, None], axis=-1)
-        return jnp.sum(picked)
+        lg, eps_ = apply_fn(images, probes={layer_name: probe})
+        idx = (jnp.argmax(lg, axis=-1) if class_index is None else class_index)
+        picked = jnp.take_along_axis(lg, idx[:, None], axis=-1)
+        return jnp.sum(picked), eps_[layer_name]
 
-    grads = jax.grad(score)(jnp.zeros_like(acts))
+    grads, acts = jax.grad(score, has_aux=True)(
+        jnp.zeros(acts_shape.shape, acts_shape.dtype))
     weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # [B,1,1,C]
     cam = jax.nn.relu(jnp.sum(weights * acts, axis=-1))  # [B,h,w]
     cam = cam / (jnp.max(cam, axis=(1, 2), keepdims=True) + 1e-8)

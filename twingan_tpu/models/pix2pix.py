@@ -26,6 +26,10 @@ class Pix2PixGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> tuple[jax.Array, Dict]:
         assert x.shape[1] == x.shape[2] and x.shape[1] >= 8
+        if x.shape[1] & (x.shape[1] - 1):
+            # Truncated log2 would desync encoder skip shapes from the
+            # decoder and fail deep inside a concatenate.
+            raise ValueError(f"pix2pix needs power-of-2 input, got {x.shape[1]}")
         levels = int(math.log2(x.shape[1]))
         eps: Dict[str, jax.Array] = {}
         skips = []

@@ -82,6 +82,15 @@ def make_global_array(x: Any, sharding) -> jax.Array:
     contributes the whole array."""
     x = np.asarray(x)
     spec = sharding.spec
+    if any(s is not None for s in spec[1:]):
+        # Only leading-axis (batch) sharding is implemented; silently
+        # passing the full global array as "process-local data" for an
+        # inner-axis sharding would mis-assemble the global array.
+        # (Callers needing inner-axis sharding slice their own shard and
+        # call jax.make_array_from_process_local_data directly, as
+        # stage_runner's stacked-scan transfer does.)
+        raise NotImplementedError(
+            f"make_global_array handles leading-axis sharding only, got {spec}")
     if len(spec) and spec[0] is not None:
         x = x[local_batch_slice(x.shape[0])]
     return jax.make_array_from_process_local_data(sharding, x)

@@ -23,7 +23,6 @@ def _build(cls, data: dict) -> Any:
     for k, v in data.items():
         if k not in fields:
             continue
-        ftype = fields[k].type
         if k == "model":
             v = _build(PGGANConfig, v)
         elif k == "loss":
