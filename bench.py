@@ -12,6 +12,8 @@ throughput number.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import jax
@@ -21,7 +23,34 @@ import numpy as np
 PER_CHIP_TARGET = 5000.0 / 8.0  # north-star imgs/sec/chip
 
 
+def _watchdog(timeout_s: float = 1500.0) -> threading.Timer:
+    """Fail fast with a diagnostic line if the TPU claim/compile hangs.
+
+    The axon terminal can wedge (observed: jax.devices() blocking
+    indefinitely on the chip claim). A hung bench is worse than a failed
+    one for the driver contract, so a daemon timer hard-exits with one
+    JSON line after generous compile headroom (~25 min >> the 30-400s
+    worst-case tunnel compile)."""
+
+    def fire():
+        print(json.dumps({
+            "metric": "256px_translate_imgs_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU unreachable: no result within {timeout_s:.0f}s "
+                     "(axon terminal claim/compile hang)",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "1500")))
     from twingan_tpu.models.config import PGGANConfig
     from twingan_tpu.models.pggan import Encoder, Generator
 
@@ -81,6 +110,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     imgs_per_sec = chunk * batch / float(np.median(times))
 
+    watchdog.cancel()
     print(
         json.dumps(
             {
