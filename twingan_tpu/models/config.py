@@ -49,6 +49,12 @@ class PGGANConfig:
     spectral_norm_in_non_discriminator: bool = False
     init_stddev: float = 0.02
 
+    # Fused nearest-up2+conv3x3 in the generator (ops/fused_scale.py):
+    # identical function, no materialized 2x tensor; checkpoint-compatible
+    # either way (the stored 3x3 kernel is unchanged). impl: dilated|parity.
+    fused_scale: bool = False
+    fused_scale_impl: str = "dilated"
+
     # Structure.
     use_res_block: bool = False
     use_larger_filter_at_rgb_layer: bool = False
@@ -74,6 +80,10 @@ class PGGANConfig:
             raise ValueError("resolution must be a power of two >= 4")
         if self.is_growing and self.resolution == 4:
             raise ValueError("the 4x4 stage cannot be growing")
+        if self.fused_scale_impl not in ("dilated", "parity"):
+            raise ValueError(
+                f"unknown fused_scale_impl {self.fused_scale_impl!r}"
+            )
 
     @property
     def max_stage(self) -> int:

@@ -34,6 +34,7 @@ import flax.linen as nn
 
 from twingan_tpu import ops
 from twingan_tpu.models.config import PGGANConfig
+from twingan_tpu.ops import fused_scale
 from twingan_tpu.ops import norms as norms_ops
 
 
@@ -62,6 +63,14 @@ class EqConv(nn.Module):
     Weights init N(0, 1) under equalized lr (runtime-scaled by
     sqrt(2/fan_in)), else N(0, init_stddev) — matching the reference's
     random_normal_initializer wiring.
+
+    With ``scale_mode='up'`` the layer computes
+    conv3x3(concat(nearest_up2(x), aux)) via ops.fused_scale.up2_conv —
+    the identical function without materializing the 2x tensor; ``aux``
+    (already at the upsampled resolution, e.g. UNet skips) gets the
+    matching kernel channel slice as a plain SAME conv added in. The
+    kernel parameter is the unchanged [3,3,in_total,F] tensor, so
+    checkpoints are interchangeable with the unfused path.
     """
 
     features: int
@@ -73,10 +82,18 @@ class EqConv(nn.Module):
     spectral_norm: bool = False
     init_stddev: float = 0.02
     dtype: Any = jnp.float32
+    scale_mode: Optional[str] = None  # None | 'up'
+    fused_impl: str = "dilated"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(self, x: jax.Array, aux: Optional[jax.Array] = None) -> jax.Array:
+        if self.scale_mode not in (None, "up"):
+            raise ValueError(f"unknown scale_mode {self.scale_mode!r}")
+        if self.scale_mode is None:
+            assert aux is None, "aux input requires scale_mode='up'"
+        else:
+            assert self.kernel_size == 3 and self.strides == 1 and self.padding == "SAME"
+        in_ch = x.shape[-1] + (aux.shape[-1] if aux is not None else 0)
         k = self.kernel_size
         stddev = 1.0 if self.equalized_lr else self.init_stddev
         kernel = self.param(
@@ -97,14 +114,29 @@ class EqConv(nn.Module):
             kernel = kernel_n
         x = x.astype(self.dtype)
         if self.equalized_lr:
+            # Equalized-lr scale uses the TOTAL fan-in (incl. aux channels),
+            # exactly as the unfused concat path would.
             x = x * jnp.asarray(ops.equalized_lr_scale(in_ch, k), self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(self.dtype),
-            window_strides=(self.strides, self.strides),
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        kernel = kernel.astype(self.dtype)
+        if self.scale_mode == "up":
+            cx = x.shape[-1]
+            y = fused_scale.up2_conv(x, kernel[:, :, :cx, :], self.fused_impl)
+            if aux is not None:
+                a = aux.astype(self.dtype)
+                if self.equalized_lr:
+                    a = a * jnp.asarray(ops.equalized_lr_scale(in_ch, k), self.dtype)
+                y = y + jax.lax.conv_general_dilated(
+                    a, kernel[:, :, cx:, :], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(self.strides, self.strides),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
@@ -357,9 +389,12 @@ class ConvBlock(nn.Module):
     activation: Optional[str] = "leaky"
     discriminator: bool = False
     norm: bool = True
+    scale_mode: Optional[str] = None  # 'up' = fused nearest-up2 + conv
 
     @nn.compact
-    def __call__(self, x: jax.Array, ctx: NormCtx) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, ctx: NormCtx, aux: Optional[jax.Array] = None
+    ) -> jax.Array:
         cfg = self.cfg
         norm_kind = "none" if (self.discriminator or not self.norm) else cfg.norm_type
         use_sn = cfg.spectral_norm and (
@@ -374,8 +409,10 @@ class ConvBlock(nn.Module):
             spectral_norm=use_sn,
             init_stddev=cfg.init_stddev,
             dtype=_dtype_of(cfg),
+            scale_mode=self.scale_mode,
+            fused_impl=cfg.fused_scale_impl,
             name="conv",
-        )(x)
+        )(x, aux)
         if norm_kind != "none":
             y = DomainNorm(
                 kind=norm_kind,

@@ -154,14 +154,33 @@ class Generator(nn.Module):
                     prev_rgb = ops.upsample_nearest_2x(prev_rgb)
                     end_points[f"to_rgb_{hw // 2}"] = prev_rgb
 
-                inp = ops.upsample_nearest_2x(net)
-                inp = _concat_cond_image(inp, cond_image)
+                skip = None
                 if unet_skips is not None and not (
                     cfg.unet_max_concat_hw and hw > cfg.unet_max_concat_hw
                 ):
                     skip = unet_skips.lookup(hw, cfg.channels(stage - 1))
-                    inp = jnp.concatenate([inp, skip.astype(inp.dtype)], axis=-1)
-                y = ConvBlock(cfg, ch, name=f"block_{hw}_conv0")(inp, ctx)
+                # fused_scale computes conv0 on (nearest_up2(net) ++ cond ++
+                # skip) without materializing the upsampled tensor — the
+                # identical function (ops/fused_scale.py); the unfused path
+                # is kept because use_res_block needs `inp` as its shortcut.
+                if cfg.fused_scale and not cfg.use_res_block:
+                    aux_parts = []
+                    if cond_image is not None:
+                        aux_parts.append(
+                            ops.resize_bilinear(cond_image, hw, hw).astype(net.dtype)
+                        )
+                    if skip is not None:
+                        aux_parts.append(skip.astype(net.dtype))
+                    aux = jnp.concatenate(aux_parts, axis=-1) if aux_parts else None
+                    inp = None
+                    y = ConvBlock(cfg, ch, scale_mode="up",
+                                  name=f"block_{hw}_conv0")(net, ctx, aux)
+                else:
+                    inp = ops.upsample_nearest_2x(net)
+                    inp = _concat_cond_image(inp, cond_image)
+                    if skip is not None:
+                        inp = jnp.concatenate([inp, skip.astype(inp.dtype)], axis=-1)
+                    y = ConvBlock(cfg, ch, name=f"block_{hw}_conv0")(inp, ctx)
                 if cfg.do_pixel_norm:
                     y = ops.pixel_norm(y)
                 y = ConvBlock(cfg, ch, name=f"block_{hw}_conv1")(y, ctx)

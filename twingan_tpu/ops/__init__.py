@@ -31,6 +31,7 @@ from twingan_tpu.ops.norms import (
     batch_renorm_correction,
     renorm_clipping_schedule,
 )
+from twingan_tpu.ops.fused_scale import up2_conv, up2_conv_kernel
 from twingan_tpu.ops.sn import spectral_normalize, power_iteration
 from twingan_tpu.ops.attention import self_attention
 from twingan_tpu.ops.msssim import ssim, msssim
