@@ -132,7 +132,7 @@ class TestNorms:
     def test_synced_moments_match_global(self):
         # pmean-synced per-device moments == global moments.
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         devs = jax.devices()
         mesh = Mesh(np.asarray(devs), ("data",))

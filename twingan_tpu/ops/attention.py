@@ -298,7 +298,7 @@ def sharded_attention_core(
     full key set. Exact same math as attention_core.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(f_blk, g_blk, h_blk):
         g_full = lax.all_gather(g_blk, axis, axis=1, tiled=True)
