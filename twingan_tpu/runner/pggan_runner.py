@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--self_attention_hw", type=int, default=64)
     p.add_argument("--pggan_unet_max_concat_hw", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--fused_scale", type=_bool, default=False,
+                   help="fused nearest-up2+conv in the generator (identical "
+                        "function, lower HBM traffic; ops/fused_scale.py)")
+    p.add_argument("--fused_scale_impl", default="dilated",
+                   choices=["dilated", "parity"])
+    p.add_argument("--remat", type=_bool, default=False,
+                   help="rematerialize each G/D pass in the backward "
+                        "(jax.checkpoint): ~1 pass of activation memory, "
+                        "enables larger 256px batches under GP losses")
     # Loss flags (reference image_generation.py).
     p.add_argument("--loss_architecture", default="dragan",
                    choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
@@ -172,6 +181,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         num_domains=2 if is_twin else 1,
         style_dim=args.style_embed_size if (is_twin and args.use_style_embedding) else 0,
         dtype=args.dtype,
+        fused_scale=args.fused_scale,
+        fused_scale_impl=args.fused_scale_impl,
     )
     loss = GanLossConfig(
         architecture=args.loss_architecture,
@@ -190,6 +201,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         use_ttur=args.use_ttur, discriminator_learning_rate=args.discriminator_learning_rate,
         use_gdrop=args.use_gdrop, gdrop_coef=args.gdrop_coef,
         gdrop_lim=args.gdrop_lim, gdrop_exp=args.gdrop_exp,
+        remat=args.remat,
     )
     if is_twin:
         trainer = TwinGANConfig(

@@ -75,6 +75,10 @@ class GanTrainerConfig:
     dcgan_latent_dim: int = 64
     # Polyak averaging of generator params for eval (0 disables).
     moving_average_decay: float = 0.0
+    # Rematerialize each G/D pass in the backward (jax.checkpoint): peak
+    # memory drops to ~one pass's activations, enabling larger batches at
+    # 256px+ under the GP double-backward; costs ~1 extra forward of FLOPs.
+    remat: bool = False
     # Conditional generation from dataset labels (reference
     # use_conditional_labels, image_generation.py:1043-1049): the multi-hot
     # 'conditional_labels' batch item drives G's conditional norms (beta/
@@ -207,10 +211,11 @@ class GanTrainer(BaseGanTrainer):
             return apply_model(
                 self.gen, params, model_state, gen_input,
                 alpha=alpha, train=train, update_state=update, renorm_clip=clip,
-                style=style,
+                style=style, remat=self.cfg.remat,
             )
         return apply_model(self.gen, params, model_state, gen_input,
-                           train=train, update_state=update)
+                           train=train, update_state=update,
+                           remat=self.cfg.remat)
 
     def _apply_dis(self, params, model_state, images, alpha, gdrop_strength,
                    k_gdrop, train, update, cond_embed=None):
@@ -219,10 +224,11 @@ class GanTrainer(BaseGanTrainer):
                 self.dis, params, model_state, images,
                 alpha=alpha, gdrop_strength=gdrop_strength, train=train,
                 update_state=update, rngs={"gdrop": k_gdrop},
-                cond_embed=cond_embed,
+                cond_embed=cond_embed, remat=self.cfg.remat,
             )
         return apply_model(self.dis, params, model_state, images,
-                           train=train, update_state=update)
+                           train=train, update_state=update,
+                           remat=self.cfg.remat)
 
     def _cond(self, batch):
         """(label vector for G's conditional norms, embedding for D's 4x4

@@ -44,6 +44,7 @@ def apply_model(
     train: bool = False,
     update_state: bool = False,
     rngs: Optional[dict] = None,
+    remat: bool = False,
     **kwargs,
 ):
     """Apply a Flax module with explicit state threading.
@@ -55,10 +56,35 @@ def apply_model(
     image_generation.py:626-629). Train-mode forwards still run with the
     collections writable (stock flax modules like nn.BatchNorm always write
     in train mode); the written state is simply discarded.
+
+    remat=True wraps the apply in jax.checkpoint, so the backward pass
+    recomputes this pass's activations instead of keeping them live — with
+    TwinGAN's 4 generator + 6 discriminator passes per step this bounds
+    peak memory to roughly one pass's activations (FLOPs-for-HBM trade;
+    the reference has no equivalent — TF1 kept every pass's activations).
+    Static (int/bool/str/None) kwargs stay out of the traced call so
+    domain/bank selection and shape-affecting flags remain Python values.
     """
     variables = {"params": params, **model_state}
     mutable = list(model_state.keys()) if ((update_state or train) and model_state) else False
-    out = module.apply(variables, *args, train=train, rngs=rngs, mutable=mutable, **kwargs)
+    if remat:
+        static_kw = {
+            k: v for k, v in kwargs.items()
+            if v is None or isinstance(v, (bool, int, str))
+        }
+        traced_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
+
+        def _run(variables, rngs, args, traced_kw):
+            return module.apply(
+                variables, *args, train=train, rngs=rngs, mutable=mutable,
+                **static_kw, **traced_kw,
+            )
+
+        out = jax.checkpoint(_run)(variables, rngs, tuple(args), traced_kw)
+    else:
+        out = module.apply(
+            variables, *args, train=train, rngs=rngs, mutable=mutable, **kwargs
+        )
     if mutable:
         out, new_state = out
         return out, (dict(new_state) if update_state else model_state)

@@ -106,6 +106,10 @@ class TwinGANConfig:
     target_embed_dim: int = 0
     # Polyak averaging of generator-side params for eval (0 disables).
     moving_average_decay: float = 0.0
+    # Rematerialize each of the 4 G / 6 D passes in the backward
+    # (jax.checkpoint): peak memory ~one pass's activations instead of all
+    # ten; enables larger 256px batches under DRAGAN's double-backward.
+    remat: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -253,6 +257,7 @@ class TwinGANTrainer(BaseGanTrainer):
             out, st = apply_model(
                 self.enc, params[ENC], new_state[ENC], x, alpha=alpha, domain=domain,
                 train=train, update_state=update, renorm_clip=clip,
+                remat=cfg.remat,
             )
             if update:
                 new_state[ENC] = st
@@ -263,6 +268,7 @@ class TwinGANTrainer(BaseGanTrainer):
                 self.gen, params[GEN], new_state[GEN], code, alpha=alpha, domain=domain,
                 style=style, unet_skips=skips if cfg.use_unet else None,
                 train=train, update_state=update, renorm_clip=clip,
+                remat=cfg.remat,
             )
             if update:
                 new_state[GEN] = st
@@ -274,6 +280,7 @@ class TwinGANTrainer(BaseGanTrainer):
             out, st = apply_model(
                 self.enc_style, params[ENC_STYLE], new_state[ENC_STYLE], x, alpha=alpha,
                 domain=domain, train=train, update_state=update, renorm_clip=clip,
+                remat=cfg.remat,
             )
             if update:
                 new_state[ENC_STYLE] = st
@@ -321,6 +328,7 @@ class TwinGANTrainer(BaseGanTrainer):
                 out, st = apply_model(
                     self.distill[name], params[name], new_state[name], code,
                     train=train, update_state=u, renorm_clip=clip,
+                    remat=cfg.remat,
                 )
                 if u:
                     new_state[name] = st
@@ -337,7 +345,7 @@ class TwinGANTrainer(BaseGanTrainer):
         out, st = apply_model(
             self.dis[name], dis_params[name], model_state[name], images, alpha=alpha,
             gdrop_strength=gdrop_strength, train=True, update_state=update,
-            rngs={"gdrop": k_gdrop},
+            rngs={"gdrop": k_gdrop}, remat=self.cfg.remat,
         )
         return out[0], st  # (pred, end_points), state
 
