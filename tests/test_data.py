@@ -658,3 +658,32 @@ class TestBlurFilter:
         out = str(tmp_path / "rec")
         n = convert_image_folder(str(d), out, num_shards=1, min_sharpness=100.0)
         assert n == 1
+
+
+class TestSubtractMean:
+    """subtract_mean: 0-255-scale minus RGB channel means (vgg19 convention,
+    reference model_inheritor.py:243 + danbooru_preprocessing.py:193-196)."""
+
+    def test_values_and_postprocess_inverse(self):
+        from twingan_tpu.data.preprocess import MEAN_IMAGE_SUBTRACTION_RGB
+
+        cfg = PreprocessConfig(output_hw=8, is_training=False, subtract_mean=True)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3), jnp.float32)
+        out = augment_batch(jax.random.PRNGKey(0), imgs, cfg)
+        expect = np.asarray(imgs) * 255.0 - np.asarray(
+            MEAN_IMAGE_SUBTRACTION_RGB, np.float32
+        )
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-3)
+        back = postprocess_image(out, "rgb", subtract_mean=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(imgs), atol=1e-5)
+
+    def test_composes_with_bgr(self):
+        # Forward: subtract means (RGB order) then reverse channels; the
+        # inverse must un-reverse before re-adding the means.
+        cfg = PreprocessConfig(
+            output_hw=8, is_training=False, subtract_mean=True, color_space="bgr"
+        )
+        imgs = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 3), jnp.float32)
+        out = augment_batch(jax.random.PRNGKey(0), imgs, cfg)
+        back = postprocess_image(out, "bgr", subtract_mean=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(imgs), atol=1e-5)

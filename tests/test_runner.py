@@ -613,3 +613,78 @@ class TestRunnerCliParity:
         assert _batch_schedule(flat)[128] == 7
         default = build_parser().parse_args(["--train_dir", "/tmp/x"])
         assert _batch_schedule(default) is None
+
+
+class TestInTrainingEvalAndCustomSources:
+    def test_in_training_swd_writes_tables(self, tmp_path):
+        """eval_every_n_iter_in_training runs the SWD eval at cadence and
+        persists per-resolution tables (reference image_generation.py:
+        139,763-765) — requires >=16px, so this stage runs at 16."""
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        cfg = RunConfig(
+            program="twingan",
+            train_dir=str(tmp_path / "run"),
+            start_hw=16,
+            max_hw=16,
+            num_images_per_resolution=16,  # 4 steps at batch 4
+            batch_schedule={16: 4},
+            use_synthetic_data=True,
+            eval_every_n_iter_in_training=2,
+            log_every_n_steps=1,
+            save_every_n_steps=100,
+            log_image_every_n_iter=0,
+            num_devices=1,
+            trainer=TwinGANConfig(
+                model=PGGANConfig(resolution=16, max_channels=16, num_domains=2),
+                batch_size=4,
+                opt=OptimizerConfig(learning_rate=1e-3),
+            ),
+        )
+        StageRunner(cfg).run()
+        stage = os.path.join(cfg.train_dir, "16")
+        tables = [f for f in os.listdir(stage) if f.startswith("swd_in_training_")]
+        assert tables, os.listdir(stage)
+        body = open(os.path.join(stage, tables[0])).read()
+        assert "res\treal\tfake" in body and "16\t" in body
+
+    def test_custom_sources_grid_and_n_per_hw(self, tmp_path):
+        """custom_sources_np_path feeds fixed user images into every dump
+        (reference twingan.py:636-640: %d_sources_ph.png +
+        %d_custom_t_style_rand.png), resized from the npy resolution to the
+        stage resolution; log_image_n_per_hw caps the grid size."""
+        from PIL import Image as PILImage
+
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        arr = (np.random.RandomState(0).rand(3, 8, 8, 3) * 255).astype(np.uint8)
+        np.save(tmp_path / "fixed.npy", arr)
+        cfg = RunConfig(
+            program="twingan",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4,
+            max_hw=4,
+            num_images_per_resolution=8,
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            log_every_n_steps=1,
+            save_every_n_steps=100,
+            log_image_every_n_iter=2,
+            log_image_n_per_hw=2,
+            custom_sources_np_path=str(tmp_path / "fixed.npy"),
+            num_devices=1,
+            trainer=TwinGANConfig(
+                model=PGGANConfig(resolution=4, max_channels=16, num_domains=2),
+                batch_size=4,
+                opt=OptimizerConfig(learning_rate=1e-3),
+            ),
+        )
+        StageRunner(cfg).run()
+        samples_dir = os.path.join(cfg.train_dir, "4", "generated_samples")
+        samples = os.listdir(samples_dir)
+        ph = [s for s in samples if s.endswith("_sources_ph.png")]
+        rand = [s for s in samples if s.endswith("_custom_t_style_rand.png")]
+        assert ph and rand, samples
+        # n_per_hw=2 of the 3 npy images, resized 8->4: a 2-image mosaic.
+        w, h = PILImage.open(os.path.join(samples_dir, ph[0])).size
+        assert (w, h) in {(8, 4), (4, 8)}, (w, h)

@@ -262,3 +262,47 @@ class TestImporterStrictness:
                        ["block_8_conv0"]["conv"]["u"]),
             marker[0],
         )
+
+
+class TestFtrlParity:
+    """Our FTRL-Proximal vs TF's (reference optimizer factory uses
+    tf.train.FtrlOptimizer, model_inheritor.py:543-549; tf.keras Ftrl with
+    beta=0 and no l2-shrinkage implements the same ApplyFtrl kernel)."""
+
+    def _trajectories(self, l1, l2, power=-0.5, steps=6):
+        import optax
+        from twingan_tpu.train.optimizers import ftrl
+
+        lr, init_acc = 0.05, 0.1
+        w0 = _rand(7, seed=11, lo=-1, hi=1)
+        grads = [_rand(7, seed=20 + i, lo=-1, hi=1) for i in range(steps)]
+
+        tx = ftrl(lr, learning_rate_power=power,
+                  initial_accumulator_value=init_acc, l1=l1, l2=l2)
+        params = {"w": jnp.asarray(w0)}
+        st = tx.init(params)
+        for g in grads:
+            upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+            params = optax.apply_updates(params, upd)
+
+        var = tf.Variable(w0)
+        opt = tf.keras.optimizers.Ftrl(
+            learning_rate=lr, learning_rate_power=power,
+            initial_accumulator_value=init_acc,
+            l1_regularization_strength=l1, l2_regularization_strength=l2,
+        )
+        for g in grads:
+            opt.apply_gradients([(tf.constant(g), var)])
+        return np.asarray(params["w"]), var.numpy()
+
+    def test_plain(self):
+        ours, theirs = self._trajectories(l1=0.0, l2=0.0)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_l1_l2(self):
+        ours, theirs = self._trajectories(l1=0.02, l2=0.05)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_other_power(self):
+        ours, theirs = self._trajectories(l1=0.01, l2=0.0, power=-0.7)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)

@@ -41,6 +41,9 @@ YIQ_TO_RGB = np.array(
     [[1, 0.956, 0.621], [1, -0.272, -0.647], [1, -1.106, 1.703]], np.float32
 )
 RANDOM_CROP_RATIO = 0.8
+# Reference _MEAN_IMAGE_SUBTRACTION_BGR reversed to RGB order
+# (danbooru_preprocessing.py:193-196): used for vgg19 feature extraction.
+MEAN_IMAGE_SUBTRACTION_RGB = (123.68, 116.779, 103.939)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +57,10 @@ class PreprocessConfig:
     is_training: bool = False
     shared_flip: bool = False          # pair-consistent flips
     initial_crop_hw: Optional[int] = None  # RANDOM_CROP_AND_RESHAPE
+    # Reference subtract_mean (model_inheritor.py:243, danbooru_
+    # preprocessing.py:193-196): keep the image on the 0-255 scale and
+    # subtract the RGB channel means — the vgg19 input convention.
+    subtract_mean: bool = False
 
     @property
     def host_hw(self) -> int:
@@ -297,6 +304,14 @@ def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> j
         x = jax.image.resize(
             x, (x.shape[0], cfg.output_hw, cfg.output_hw, x.shape[-1]), "bilinear"
         )
+    if cfg.subtract_mean and x.shape[-1] == 3:
+        # Back to the 0-255 scale minus the RGB means (vgg19 convention,
+        # danbooru_preprocessing.py:193-196). The reference subtracts before
+        # flip/color distortion; flips commute and the subtract_mean path is
+        # only used for eval-time feature extraction (is_training=False), so
+        # applying it after the [0,1]-scale augmentations is equivalent
+        # where it matters and keeps the distortion math on [0,1] inputs.
+        x = x * 255.0 - jnp.asarray(MEAN_IMAGE_SUBTRACTION_RGB, x.dtype)
     if cfg.color_space == "yiq":
         x = rgb_to_yiq(x)
     elif cfg.color_space == "bgr":
@@ -308,12 +323,18 @@ def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> j
     return x
 
 
-def postprocess_image(x: jax.Array, color_space: str = "rgb") -> jax.Array:
-    """Inverse transform for display/saving (danbooru postprocess_image)."""
+def postprocess_image(
+    x: jax.Array, color_space: str = "rgb", subtract_mean: bool = False
+) -> jax.Array:
+    """Inverse transform for display/saving (danbooru postprocess_image,
+    danbooru_preprocessing.py:233-255: re-add the channel means and rescale
+    to [0,1] when the forward path subtracted them)."""
     if color_space == "yiq":
         x = yiq_to_rgb(x)
     elif color_space == "bgr":
         x = x[..., ::-1]
+    if subtract_mean and x.shape[-1] == 3:
+        x = (x + jnp.asarray(MEAN_IMAGE_SUBTRACTION_RGB, x.dtype)) / 255.0
     if x.shape[-1] > 3:
         x = jnp.sum(x, axis=-1, keepdims=True)
     return jnp.clip(x, 0.0, 1.0)

@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--train_dir", required=True)
     p.add_argument("--model_name", default="illust2vec")
     p.add_argument("--num_classes", type=int, default=1539)
+    p.add_argument("--labels_offset", type=int, default=0,
+                   help="drop the first N label columns and shrink the "
+                        "logits layer by N — evaluates vgg/resnet nets that "
+                        "have no background class (reference labels_offset, "
+                        "model_inheritor.py:213, train_image_classifier.py:73)")
     p.add_argument("--multi_label", default=True, type=lambda v: str(v).lower() in ("1", "true"))
     p.add_argument("--dataset_name", default="danbooru_2_illust2vec")
     p.add_argument("--dataset_dir", default="")
@@ -77,6 +82,7 @@ def make_batches(args, cfg: ClassifierConfig, training: bool):
         device_pp = get_preprocessing("danbooru", cfg.image_hw, is_training=training)
     key = jax.random.PRNGKey(args.seed + (0 if training else 1))
 
+    offset = getattr(args, "labels_offset", 0)
     if args.use_synthetic_data or not args.dataset_dir:
         rng = np.random.RandomState(args.seed)
         while True:
@@ -84,7 +90,10 @@ def make_batches(args, cfg: ClassifierConfig, training: bool):
             labels = (rng.rand(cfg.batch_size, cfg.num_classes) > 0.9).astype(np.float32)
             yield {"image": jnp.asarray(imgs), "labels": jnp.asarray(labels)}
     else:
-        spec = get_dataset(args.dataset_name, num_classes=cfg.num_classes,
+        # The dataset carries the full vocabulary; the net sees
+        # num_classes - labels_offset columns (reference semantics: the
+        # one-hot width shrinks by the offset, model_inheritor.py:457).
+        spec = get_dataset(args.dataset_name, num_classes=cfg.num_classes + offset,
                            vocab_file=args.tags_id_lookup_file or None)
         src = TFRecordSource(
             spec, list_shards(args.dataset_dir, args.dataset_split_name),
@@ -98,7 +107,10 @@ def make_batches(args, cfg: ClassifierConfig, training: bool):
             labels = batch.get("target", batch.get("conditional_labels"))
             if labels is None:
                 continue
-            yield {"image": imgs, "labels": jnp.asarray(labels)}
+            labels = jnp.asarray(labels)
+            if offset:
+                labels = labels[..., offset:]
+            yield {"image": imgs, "labels": labels}
 
 
 def load_config_snapshot(train_dir: str) -> ClassifierConfig:
@@ -136,7 +148,7 @@ def main(argv=None):
     else:
         cfg = ClassifierConfig(
             network=args.model_name,
-            num_classes=args.num_classes,
+            num_classes=args.num_classes - args.labels_offset,
             multi_label=args.multi_label,
             image_hw=args.train_image_size or 64,
             batch_size=args.batch_size,

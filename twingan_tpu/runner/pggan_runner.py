@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resize_mode", default="PAD")
     p.add_argument("--color_space", default="rgb")
     p.add_argument("--do_random_cropping", type=_bool, default=False)
+    p.add_argument("--subtract_mean", type=_bool, default=False,
+                   help="keep images on the 0-255 scale minus the RGB "
+                        "channel means (vgg19 convention; reference "
+                        "model_inheritor.py:243)")
     # Model flags (reference nets/pggan.py).
     p.add_argument("--generator_network", default="pggan",
                    choices=["pggan", "cyclegan", "dcgan"],
@@ -125,6 +129,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=0.0001)
     p.add_argument("--adam_beta1", type=float, default=0.5)
     p.add_argument("--adam_beta2", type=float, default=0.99)
+    p.add_argument("--opt_epsilon", type=float, default=1e-8)
+    p.add_argument("--adadelta_rho", type=float, default=0.95)
+    p.add_argument("--adagrad_initial_accumulator_value", type=float, default=0.1)
+    p.add_argument("--ftrl_learning_rate_power", type=float, default=-0.5)
+    p.add_argument("--ftrl_initial_accumulator_value", type=float, default=0.1)
+    p.add_argument("--ftrl_l1", type=float, default=0.0)
+    p.add_argument("--ftrl_l2", type=float, default=0.0)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--rmsprop_momentum", type=float, default=0.9)
+    p.add_argument("--rmsprop_decay", type=float, default=0.9)
     # TwinGAN flags (reference twingan.py).
     p.add_argument("--l_cyc_weight", type=float, default=1.0)
     p.add_argument("--do_l_cyc_gan", type=_bool, default=True)
@@ -141,6 +155,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every_n_steps", type=int, default=10)
     p.add_argument("--save_every_n_steps", type=int, default=2000)
     p.add_argument("--log_image_every_n_iter", type=int, default=2000)
+    p.add_argument("--log_image_n_per_hw", type=int, default=8,
+                   help="rows per sample grid / interpolation steps per "
+                        "mosaic (reference image_generation.py:131)")
+    p.add_argument("--custom_sources_np_path", default="",
+                   help="npy of fixed source images shown in every sample "
+                        "grid, relative to dataset_dir (reference "
+                        "twingan.py:39-41)")
+    p.add_argument("--eval_every_n_iter_in_training", type=int, default=0,
+                   help="run the in-training SWD eval every N steps "
+                        "(reference image_generation.py:139)")
     p.add_argument("--log_histograms_every_n_iter", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=3)
     p.add_argument("--checkpoint_path", default="",
@@ -195,6 +219,16 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         learning_rate=args.learning_rate,
         adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2,
+        opt_epsilon=args.opt_epsilon,
+        adadelta_rho=args.adadelta_rho,
+        adagrad_initial_accumulator_value=args.adagrad_initial_accumulator_value,
+        ftrl_learning_rate_power=args.ftrl_learning_rate_power,
+        ftrl_initial_accumulator_value=args.ftrl_initial_accumulator_value,
+        ftrl_l1=args.ftrl_l1,
+        ftrl_l2=args.ftrl_l2,
+        momentum=args.momentum,
+        rmsprop_momentum=args.rmsprop_momentum,
+        rmsprop_decay=args.rmsprop_decay,
     )
     common = dict(
         model=model, loss=loss, opt=opt, n_critic=args.n_critic,
@@ -248,10 +282,14 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         resize_mode=args.resize_mode,
         color_space=args.color_space,
         do_random_cropping=args.do_random_cropping,
+        subtract_mean=args.subtract_mean,
         trainer=trainer,
         log_every_n_steps=args.log_every_n_steps,
         save_every_n_steps=args.save_every_n_steps,
         log_image_every_n_iter=args.log_image_every_n_iter,
+        log_image_n_per_hw=args.log_image_n_per_hw,
+        custom_sources_np_path=args.custom_sources_np_path,
+        eval_every_n_iter_in_training=args.eval_every_n_iter_in_training,
         log_histograms_every_n_iter=args.log_histograms_every_n_iter,
         keep_checkpoints=args.keep_checkpoints,
         checkpoint_path=args.checkpoint_path,

@@ -96,12 +96,32 @@ class RunConfig:
     resize_mode: str = "PAD"
     color_space: str = "rgb"
     do_random_cropping: bool = False
+    # 0-255-minus-RGB-means scale instead of [0,1] (vgg19 convention,
+    # reference subtract_mean flag, model_inheritor.py:243).
+    subtract_mean: bool = False
     # Trainer template; resolution/growing/batch/max_steps set per stage.
     trainer: Any = None
     # Cadences.
     log_every_n_steps: int = 10
     save_every_n_steps: int = 2000
     log_image_every_n_iter: int = 2000
+    # Rows per sample grid / interpolation steps per mosaic (reference
+    # log_image_n_per_hw, image_generation.py:131).
+    log_image_n_per_hw: int = 8
+    # Optional npy of fixed source images shown in every sample grid,
+    # resolved relative to dataset_dir when not absolute (reference
+    # custom_sources_np_path + get_fixed_sources, twingan.py:39-41,582-590:
+    # uint8 npy -> resize to the stage resolution -> /255).
+    custom_sources_np_path: str = ""
+    # Run the in-training SWD eval every N steps, writing the
+    # per-resolution table to <stage>/swd_in_training_<step>.txt plus
+    # swd_real/swd_fake scalars (reference eval_every_n_iter_in_training,
+    # image_generation.py:139,763-765; twingan.py:679-680). Uses the fixed
+    # eval batch as the sample sets (bounded, unlike the reference's
+    # 8192-image protocol — the axon client pins every host->device
+    # payload, CLAUDE.md), so the scores are a relative convergence signal
+    # at the same cadence semantics.
+    eval_every_n_iter_in_training: int = 0
     # Parameter histogram + zero-fraction summaries (reference variable
     # histograms, model_inheritor.py:1057-1058). Off by default: each dump
     # fetches the full param tree over the ~50 MB/s tunnel.
@@ -243,6 +263,7 @@ class StageRunner:
             resize_mode=self.cfg.resize_mode,
             color_space=self.cfg.color_space,
             do_random_cropping=self.cfg.do_random_cropping,
+            subtract_mean=self.cfg.subtract_mean,
             is_training=True,
         )
 
@@ -417,7 +438,7 @@ class StageRunner:
                 batches.append(batch)
             # (multi-host: shards are not host-fetchable; grids are a
             # single-controller observability feature, skip them there)
-            if not fixed_batch and cfg.log_image_every_n_iter and jax.process_count() == 1:
+            if not fixed_batch and (cfg.log_image_every_n_iter or cfg.eval_every_n_iter_in_training) and jax.process_count() == 1:
                 fixed_batch.update(
                     {k: np.asarray(v, np.float32) for k, v in batches[0].items()}
                 )
@@ -474,7 +495,7 @@ class StageRunner:
                     if spec is not None:
                         x = jax.device_put(x, spec)
                 stacked[k] = x
-            if not fixed_batch and cfg.log_image_every_n_iter and jax.process_count() == 1:
+            if not fixed_batch and (cfg.log_image_every_n_iter or cfg.eval_every_n_iter_in_training) and jax.process_count() == 1:
                 fixed_batch.update(
                     {k: np.asarray(v[0, 0], np.float32) for k, v in stacked.items()}
                 )
@@ -572,6 +593,8 @@ class StageRunner:
                     self._save(cm, cur, state)
                 if due(cfg.log_image_every_n_iter, "image") and self.is_coordinator:
                     self._dump_samples(trainer, state, stage_dir, cur, fixed_batch)
+                if due(cfg.eval_every_n_iter_in_training, "swd_train") and self.is_coordinator:
+                    self._in_training_swd(trainer, state, stage_dir, cur, fixed_batch, writer)
                 if due(cfg.log_histograms_every_n_iter, "hist") and self.is_coordinator:
                     flat = flax.traverse_util.flatten_dict(
                         flax.serialization.to_state_dict(state.params), sep="/"
@@ -598,6 +621,102 @@ class StageRunner:
         }
 
     # ------------------------------------------------------------------ #
+    def _in_training_swd(
+        self, trainer, state, stage_dir: str, step: int, fixed_batch, writer
+    ) -> None:
+        """In-training SWD at the reference cadence (image_generation.py:
+        763-765, twingan.py:679-680: every eval_every_n_iter_in_training
+        steps run _calc_swd and persist the per-resolution table). Sample
+        sets are the fixed eval batch (reals) vs the model's current
+        generations — bounded by design, see RunConfig."""
+        try:
+            from twingan_tpu.evals.metrics import swd_eval
+
+            fixed_batch = fixed_batch or {}
+            real = fixed_batch.get("target")
+            if real is None:
+                return
+            real = np.asarray(real, np.float32)
+            if real.shape[1] < 16:
+                return  # reference: 'Not doing swd on small images.'
+            if isinstance(trainer, TwinGANTrainer):
+                src = fixed_batch.get("source")
+                if src is None:
+                    return
+                fake = np.asarray(
+                    trainer.translate(
+                        state, jnp.asarray(np.asarray(src), jnp.float32), "s2t"
+                    ).astype(jnp.float32)
+                )
+            elif getattr(trainer, "is_pggan", True):
+                src = fixed_batch.get("source")
+                if src is not None:
+                    inp = jnp.asarray(np.asarray(src), jnp.float32)
+                else:
+                    from twingan_tpu.models.pggan import noise_shape
+
+                    rng = np.random.RandomState(9)
+                    inp = jnp.asarray(
+                        rng.standard_normal(
+                            noise_shape(trainer.cfg.model, len(real))
+                        ).astype(np.float32)
+                    )
+                labels = fixed_batch.get("conditional_labels")
+                if labels is not None:
+                    labels = jnp.asarray(np.asarray(labels)[: inp.shape[0]])
+                fake = np.asarray(
+                    trainer.sample(state, inp, labels=labels).astype(jnp.float32)
+                )
+            else:
+                rng = np.random.RandomState(9)
+                dim = getattr(trainer.cfg, "dcgan_latent_dim", 64)
+                z = jnp.asarray(rng.standard_normal((len(real), dim)).astype(np.float32))
+                fake = np.asarray(trainer.sample(state, z).astype(jnp.float32))
+            out = os.path.join(stage_dir, f"swd_in_training_{step}.txt")
+            table = swd_eval(
+                jax.random.PRNGKey(step), [real], [fake],
+                num_images=min(len(real), len(fake)), save_path=out,
+            )
+            if table:
+                vals = list(table.values())
+                writer.scalars(step, {
+                    "swd_real": float(np.mean([v[0] for v in vals])),
+                    "swd_fake": float(np.mean([v[1] for v in vals])),
+                })
+        except Exception as e:  # eval must never kill training
+            print(f"[in-training swd failed: {e}]")
+
+    def _fixed_custom_sources(self, res: int, n: int):
+        """Load + cache the custom_sources_np_path npy at this stage's
+        resolution (reference get_fixed_sources, twingan.py:582-590: load,
+        resize each image to train_image_size, /255)."""
+        path = self.cfg.custom_sources_np_path
+        if not path:
+            return None
+        if not os.path.isabs(path):
+            path = os.path.join(self.cfg.dataset_dir, path)
+        cache_key = (path, res)
+        if getattr(self, "_custom_sources_cache", None) and \
+                self._custom_sources_cache[0] == cache_key:
+            return self._custom_sources_cache[1][:n]
+        try:
+            arr = np.load(path)
+        except Exception as e:
+            print(f"[custom sources unavailable ({e}); using data batch]")
+            return None
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[1] != res:
+            arr = np.asarray(jax.image.resize(
+                jnp.asarray(arr), (arr.shape[0], res, res, arr.shape[-1]),
+                "bilinear",
+            ))
+        self._custom_sources_cache = (cache_key, arr)
+        return arr[:n]
+
     def _dump_samples(
         self, trainer, state, stage_dir: str, step: int, fixed_batch=None
     ) -> None:
@@ -608,7 +727,7 @@ class StageRunner:
         try:
             out_dir = os.path.join(stage_dir, "generated_samples")
             fixed_batch = fixed_batch or {}
-            n_show = 8
+            n_show = max(2, self.cfg.log_image_n_per_hw)
             if isinstance(trainer, TwinGANTrainer):
                 res = trainer.cfg.model.resolution
                 src = fixed_batch.get("source")
@@ -647,6 +766,23 @@ class StageRunner:
                     save_image_grid(
                         os.path.join(out_dir, f"{step}_custom_t_style_roll.png"),
                         stack_comparison([np.asarray(one_src), rolled]),
+                    )
+                custom = self._fixed_custom_sources(res, n_show)
+                if custom is not None:
+                    # Fixed user-supplied sources translated every dump
+                    # (reference custom_sources branch, twingan.py:636-640:
+                    # writes %d_sources_ph.png + %d_custom_t_style_rand.png).
+                    csrc = jnp.asarray(custom, jnp.float32)
+                    cout = np.asarray(
+                        trainer.translate(state, csrc, "s2t").astype(jnp.float32)
+                    )
+                    save_image_grid(
+                        os.path.join(out_dir, f"{step}_sources_ph.png"),
+                        np.asarray(csrc),
+                    )
+                    save_image_grid(
+                        os.path.join(out_dir, f"{step}_custom_t_style_rand.png"),
+                        cout,
                     )
             elif getattr(trainer, "is_pggan", True):
                 from twingan_tpu.models.pggan import noise_shape

@@ -11,7 +11,10 @@ with ``learning_rate=discriminator_learning_rate``.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -32,6 +35,14 @@ class OptimizerConfig:
     momentum: float = 0.9
     rmsprop_momentum: float = 0.9
     rmsprop_decay: float = 0.9
+    # Adadelta / Adagrad (reference model_inheritor.py:128-133).
+    adadelta_rho: float = 0.95
+    adagrad_initial_accumulator_value: float = 0.1
+    # FTRL (reference model_inheritor.py:146-157, tf.train.FtrlOptimizer).
+    ftrl_learning_rate_power: float = -0.5
+    ftrl_initial_accumulator_value: float = 0.1
+    ftrl_l1: float = 0.0
+    ftrl_l2: float = 0.0
     # L2 regularization (reference weight_decay flag; slim adds an l2 loss
     # term per variable, i.e. wd*param added to the gradient). Implemented
     # as optax.add_decayed_weights BEFORE the optimizer — identical coupled
@@ -88,13 +99,19 @@ def build_optimizer(
             schedule, decay=cfg.rmsprop_decay, eps=cfg.opt_epsilon, momentum=cfg.rmsprop_momentum
         )
     elif name == "adagrad":
-        tx = optax.adagrad(schedule)
+        tx = optax.adagrad(
+            schedule, initial_accumulator_value=cfg.adagrad_initial_accumulator_value
+        )
     elif name == "adadelta":
-        tx = optax.adadelta(schedule)
+        tx = optax.adadelta(schedule, rho=cfg.adadelta_rho, eps=cfg.opt_epsilon)
     elif name == "ftrl":
-        # optax has no ftrl; adagrad is the closest family member. The
-        # reference never uses ftrl for GAN configs.
-        tx = optax.adagrad(schedule)
+        tx = ftrl(
+            schedule,
+            learning_rate_power=cfg.ftrl_learning_rate_power,
+            initial_accumulator_value=cfg.ftrl_initial_accumulator_value,
+            l1=cfg.ftrl_l1,
+            l2=cfg.ftrl_l2,
+        )
     else:
         raise ValueError(f"unsupported optimizer {name!r}")
     if cfg.weight_decay:
@@ -104,6 +121,71 @@ def build_optimizer(
     if cfg.frozen_scopes:
         tx = freeze_scopes(tx, tuple(cfg.frozen_scopes))
     return tx
+
+
+class FtrlState(NamedTuple):
+    count: jax.Array   # schedule step
+    accum: optax.Updates
+    linear: optax.Updates
+
+
+def ftrl(
+    learning_rate,
+    learning_rate_power: float = -0.5,
+    initial_accumulator_value: float = 0.1,
+    l1: float = 0.0,
+    l2: float = 0.0,
+) -> optax.GradientTransformation:
+    """FTRL-Proximal (McMahan et al. 2013) with tf.train.FtrlOptimizer
+    semantics (reference optimizer factory, model_inheritor.py:543-549).
+
+    optax has no FTRL. FTRL is a follow-the-leader method: the new weight is
+    a closed-form function of the accumulated (linear, accum) state, so the
+    emitted optax update is ``w_new - w``. Per-leaf math mirrors TF's
+    ApplyFtrl kernel (p = -learning_rate_power):
+
+        accum' = accum + g^2
+        linear' = linear + g - (accum'^p - accum^p) / lr * w
+        w' = (sign(linear') * l1 - linear') / (accum'^p / lr + 2 * l2)
+             if |linear'| > l1 else 0
+    """
+    p = -learning_rate_power
+    schedule = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init_fn(params):
+        return FtrlState(
+            count=jnp.zeros([], jnp.int32),
+            accum=jax.tree_util.tree_map(
+                lambda w: jnp.full_like(w, initial_accumulator_value), params
+            ),
+            linear=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("ftrl requires params to be passed to update()")
+        lr = schedule(state.count)
+
+        def leaf(g, a, lin, w):
+            g = g.astype(w.dtype)
+            a_new = a + g * g
+            sigma = (a_new**p - a**p) / lr
+            lin_new = lin + g - sigma * w
+            quad = a_new**p / lr + 2.0 * l2
+            w_new = jnp.where(
+                jnp.abs(lin_new) > l1,
+                (jnp.sign(lin_new) * l1 - lin_new) / quad,
+                jnp.zeros_like(w),
+            )
+            return w_new - w, a_new, lin_new
+
+        out = jax.tree_util.tree_map(leaf, grads, state.accum, state.linear, params)
+        updates = jax.tree_util.tree_map(lambda o: o[0], out, is_leaf=lambda o: isinstance(o, tuple))
+        accum = jax.tree_util.tree_map(lambda o: o[1], out, is_leaf=lambda o: isinstance(o, tuple))
+        linear = jax.tree_util.tree_map(lambda o: o[2], out, is_leaf=lambda o: isinstance(o, tuple))
+        return updates, FtrlState(count=state.count + 1, accum=accum, linear=linear)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def freeze_scopes(tx: optax.GradientTransformation, scopes: tuple) -> optax.GradientTransformation:
