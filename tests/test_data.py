@@ -687,3 +687,118 @@ class TestSubtractMean:
         out = augment_batch(jax.random.PRNGKey(0), imgs, cfg)
         back = postprocess_image(out, "bgr", subtract_mean=True)
         np.testing.assert_allclose(np.asarray(back), np.asarray(imgs), atol=1e-5)
+
+
+class TestConverterFilters:
+    def _danbooru_dir(self, tmp_path):
+        xml = tmp_path / "tags.xml"
+        xml.write_text(
+            "<tags>"
+            '<tag type="0" ambiguous="false" count="10" name="long_hair" id="1"/>'
+            '<tag type="0" ambiguous="false" count="9" name="blue_eyes" id="2"/>'
+            '<tag type="0" ambiguous="false" count="2" name="rare_tag" id="3"/>'
+            "</tags>"
+        )
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        specs = [("s", "long_hair\nblue_eyes\n"), ("q", "long_hair\n"),
+                 ("e", "rare_tag\n")]
+        for i, (rating, tags) in enumerate(specs):
+            name = f"{rating} - {i}.png"
+            PILImage.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(d / name)
+            (d / (name + ".txt")).write_text(tags)
+        return str(d), str(xml)
+
+    def test_safe_unsafe_only(self, tmp_path):
+        """Reference do_safe_only/do_unsafe_only: rating-prefix filters
+        (convert_anime_faces_from_object_detection.py:40-42,218)."""
+        from twingan_tpu.data.converters import convert_danbooru_folder
+
+        d, xml = self._danbooru_dir(tmp_path)
+        assert convert_danbooru_folder(d, xml, str(tmp_path / "all"), num_shards=1) == 3
+        assert convert_danbooru_folder(
+            d, xml, str(tmp_path / "safe"), num_shards=1, safe_only=True) == 1
+        assert convert_danbooru_folder(
+            d, xml, str(tmp_path / "unsafe"), num_shards=1, unsafe_only=True) == 2
+
+    def test_max_num_labels_most_common(self, tmp_path):
+        """Reference max_num_labels: the kept vocabulary is NSFW pseudo-tags
+        first, then the dataset's most common tags, capped
+        (convert_danbooru_data.py:91-118)."""
+        from twingan_tpu.data.converters import (
+            convert_danbooru_folder,
+            most_common_tags,
+        )
+        from twingan_tpu.data.tfrecord import TFRecordReader, list_shards
+        from twingan_tpu.data.example import decode_example
+
+        d, xml = self._danbooru_dir(tmp_path)
+        # long_hair appears twice, blue_eyes once, rare_tag once (tie broken
+        # by count order); cap 4 = 3 NSFW pseudo-tags + long_hair.
+        vocab = most_common_tags(d, xml, 4)
+        assert vocab[:3] == ["NSFWRating_s", "NSFWRating_q", "NSFWRating_e"]
+        assert vocab[3] == "long_hair"
+        out = str(tmp_path / "capped")
+        n = convert_danbooru_folder(d, xml, out, num_shards=1, max_num_labels=4)
+        # The 'e'-rated image only carried rare_tag (+ its pseudo-tag, which
+        # IS in the cap), so it still converts via the pseudo-tag.
+        assert n == 3
+        texts = []
+        for rec in TFRecordReader(list_shards(out, "train")[0]):
+            feats = decode_example(rec)
+            val = feats["image/class/text"]
+            texts.append((val[0] if isinstance(val, list) else val).decode())
+        assert not any("rare_tag" in t or "blue_eyes" in t for t in texts)
+        assert any("long_hair" in t for t in texts)
+
+    def test_max_hw_filter(self, tmp_path):
+        """Reference allowed_max_hw size cap."""
+        from twingan_tpu.data.converters import convert_image_folder
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        PILImage.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(d / "small.png")
+        PILImage.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(d / "big.png")
+        assert convert_image_folder(str(d), str(tmp_path / "rec"), num_shards=1,
+                                    max_hw=32) == 1
+
+    def test_convert_time_preprocessing(self, tmp_path):
+        """Reference do_preprocessing + preprocessing_hw: images resized at
+        convert time (convert_general_image_data.py:63,168)."""
+        from twingan_tpu.data import get_dataset
+        from twingan_tpu.data.converters import convert_image_folder
+        from twingan_tpu.data.tfrecord import TFRecordReader, list_shards
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        PILImage.fromarray((rng.rand(40, 60, 3) * 255).astype(np.uint8)).save(d / "a.png")
+        out = str(tmp_path / "rec")
+        assert convert_image_folder(str(d), out, num_shards=1, preprocess_hw=24) == 1
+        spec = get_dataset("image_only")
+        item = spec.parse(TFRecordReader(list_shards(out, "train")[0])[0])
+        assert item["source"].shape[:2] == (24, 24)
+
+    def test_image_only_custom_key(self, tmp_path):
+        """Reference image_only_key_name (datasets/image_only.py:41): read
+        records whose encoded image rides a non-standard feature key."""
+        import io as _io
+
+        from twingan_tpu.data import get_dataset
+        from twingan_tpu.data.example import encode_example
+        from twingan_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.RandomState(0)
+        buf = _io.BytesIO()
+        PILImage.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(buf, "PNG")
+        path = str(tmp_path / "x.tfrecord")
+        with TFRecordWriter(path) as w:
+            w.write(encode_example({"custom/image": buf.getvalue(),
+                                    "image/format": b"png"}))
+        from twingan_tpu.data.tfrecord import TFRecordReader
+
+        spec = get_dataset("image_only", image_key="custom/image")
+        item = spec.parse(TFRecordReader(path)[0])
+        assert item["source"].shape == (8, 8, 3)

@@ -55,9 +55,17 @@ def _load_and_filter(
     max_ratio: float = 0.0,
     encode_format: str = "jpeg",
     min_sharpness: float = 0.0,
+    max_hw: int = 0,
+    preprocess_hw: int = 0,
+    preprocess_mode: str = "PAD",
 ) -> Optional[dict]:
-    """Reads, filters (min size / aspect ratio / blur like the reference base
-    converter), and re-encodes one image. Returns a feature dict or None."""
+    """Reads, filters (min/max size / aspect ratio / blur like the reference
+    base converter's allowed_min_hw / allowed_max_hw / allowed_hw_ratio,
+    convert_general_image_data.py:36-320), optionally resizes at convert
+    time (reference do_preprocessing + preprocessing_hw,
+    convert_general_image_data.py:63,168 — trades fidelity for storage and
+    train-time decode cost), and re-encodes one image. Returns a feature
+    dict or None."""
     try:
         img = PILImage.open(path)
         img = img.convert("RGB")
@@ -66,10 +74,17 @@ def _load_and_filter(
     w, h = img.size
     if min_hw and min(h, w) < min_hw:
         return None
+    if max_hw and max(h, w) > max_hw:
+        return None
     if max_ratio and max(h, w) / max(min(h, w), 1) > max_ratio:
         return None
     if min_sharpness and blur_score(np.asarray(img, np.float32)) < min_sharpness:
         return None
+    if preprocess_hw:
+        from twingan_tpu.data.preprocess import host_resize_uint8
+
+        img = PILImage.fromarray(host_resize_uint8(
+            np.asarray(img, np.uint8), preprocess_mode, preprocess_hw))
     buf = io.BytesIO()
     img.save(buf, format="JPEG" if encode_format == "jpeg" else "PNG", quality=95)
     return {
@@ -90,6 +105,9 @@ def convert_image_folder(
     min_sharpness: float = 0.0,
     num_threads: int = 4,
     extra_features: Optional[Callable[[str], Optional[dict]]] = None,
+    max_hw: int = 0,
+    preprocess_hw: int = 0,
+    preprocess_mode: str = "PAD",
 ) -> int:
     """Folder of images -> image_only-schema shards. Returns record count."""
     paths = list_images(image_dir)
@@ -104,7 +122,11 @@ def convert_image_folder(
             with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
                 for src_path, feats in zip(chunk, pool.map(
                     lambda p: _load_and_filter(p, min_hw, max_ratio,
-                                               min_sharpness=min_sharpness), chunk
+                                               min_sharpness=min_sharpness,
+                                               max_hw=max_hw,
+                                               preprocess_hw=preprocess_hw,
+                                               preprocess_mode=preprocess_mode),
+                    chunk
                 )):
                     if feats is None:
                         continue
@@ -254,6 +276,8 @@ def convert_faces_from_images(
     num_shards: int = 4,
     min_face_hw: int = 48,
     tags_fn: Optional[Callable[[str], str]] = None,
+    safe_only: bool = False,
+    unsafe_only: bool = False,
 ) -> int:
     """Detect + crop faces from raw photos into image records.
 
@@ -262,7 +286,9 @@ def convert_faces_from_images(
     external detection tfrecords are replaced by the framework's own face
     detector (serve/face_detection.py) with the same expansion ratios.
     ``tags_fn(filename) -> 'tag1,tag2'`` optionally attaches the
-    anime_faces-style class text.
+    anime_faces-style class text. safe_only / unsafe_only keep only images
+    whose danbooru-style filename rating is 's' / is not 's' (reference
+    do_safe_only/do_unsafe_only, :40-42,218 — it keys on the name prefix).
     """
     from PIL import Image as PILImage
 
@@ -280,6 +306,10 @@ def convert_faces_from_images(
             continue
         with TFRecordWriter(shard_path(out_dir, dataset_name, split, shard, num_shards)) as w:
             for path in chunk:
+                if safe_only or unsafe_only:
+                    is_safe = os.path.basename(path).startswith("s")
+                    if (safe_only and not is_safe) or (unsafe_only and is_safe):
+                        continue
                 try:
                     img = np.asarray(PILImage.open(path).convert("RGB"), np.uint8)
                 except Exception:
@@ -385,20 +415,38 @@ def convert_danbooru_folder(
     dataset_name: str = "danbooru_2_illust2vec",
     split: str = "train",
     num_shards: int = 4,
+    safe_only: bool = False,
+    unsafe_only: bool = False,
+    max_num_labels: int = 0,
 ) -> int:
     """Danbooru dump ('<rating> - <id>.jpg' + per-image .txt tag sidecars +
     tags.xml vocabulary) -> tagged records, keeping only tags present in the
     vocabulary (reference convert_danbooru_data.py:141-170). The vocabulary
     order doubles as the label index space (write it with
-    write_tags_vocab)."""
+    write_tags_vocab).
+
+    safe_only / unsafe_only filter by the filename's NSFW rating (reference
+    do_safe_only/do_unsafe_only, convert_anime_faces_from_object_detection
+    .py:40-42,218: keep only 's'-rated images, or only non-'s').
+    max_num_labels restricts the kept tags to the dataset's most common N
+    (reference _process_tags, convert_danbooru_data.py:91-118) — build the
+    matching label file with most_common_tags + write order."""
     _, name_to_index = parse_tags_xml(tags_xml)
+    keep: Optional[set] = None
+    if max_num_labels:
+        keep = set(most_common_tags(image_dir, tags_xml, max_num_labels))
 
     def extra(path: str) -> Optional[dict]:
         try:
-            _, _, tags = parse_danbooru_file_name(path)
+            rating, _, tags = parse_danbooru_file_name(path)
         except (ValueError, OSError):
             return None  # reference skips malformed entries
-        kept = [t for t in tags if t in name_to_index]
+        if safe_only and rating != "s":
+            return None
+        if unsafe_only and rating == "s":
+            return None
+        kept = [t for t in tags if t in name_to_index
+                and (keep is None or t in keep)]
         if not kept:
             return None
         return {"image/class/text": ",".join(kept).encode()}
@@ -407,6 +455,29 @@ def convert_danbooru_folder(
         image_dir, out_dir, dataset_name=dataset_name, split=split,
         num_shards=num_shards, extra_features=extra,
     )
+
+
+def most_common_tags(
+    image_dir: str, tags_xml: str, max_num_labels: int
+) -> list[str]:
+    """The dataset's most common in-vocabulary tags, NSFWRating_* pseudo-tags
+    first, capped at max_num_labels (reference _process_tags ordering,
+    convert_danbooru_data.py:91-118; the reference additionally reserves
+    label index 0 as background — our vocab files are pure line-index
+    spaces, so callers wanting that reservation prepend a line)."""
+    import collections
+
+    _, name_to_index = parse_tags_xml(tags_xml)
+    counts: collections.Counter = collections.Counter()
+    for path in list_images(image_dir):
+        try:
+            _, _, tags = parse_danbooru_file_name(path)
+        except (ValueError, OSError):
+            continue
+        counts.update(t for t in tags if t in name_to_index)
+    ordered = ["NSFWRating_" + r for r in _DANBOORU_NSFW_RATINGS]
+    ordered += [t for t, _ in counts.most_common() if t not in set(ordered)]
+    return ordered[:max_num_labels]
 
 
 def write_tags_vocab(tags_xml: str, out_file: str) -> int:

@@ -69,6 +69,10 @@ class DatasetSpec:
     has_source: bool = True
     vocab: Optional[Vocabulary] = None
     use_target: bool = False  # image_only: route image to 'target' not 'source'
+    # Feature key holding the encoded image (reference image_only_key_name,
+    # datasets/image_only.py:41 — records written by third-party tools may
+    # use a non-standard key).
+    image_key: str = "image/encoded"
 
     def parse(self, payload: memoryview) -> Dict[str, np.ndarray]:
         return self.decode(payload, self)
@@ -80,7 +84,7 @@ class DatasetSpec:
 
 def _decode_image_only(payload, spec: DatasetSpec):
     ex = decode_example(payload)
-    img = _decode_image(ex["image/encoded"][0], ex.get("image/format", [b"jpeg"])[0])
+    img = _decode_image(ex[spec.image_key][0], ex.get("image/format", [b"jpeg"])[0])
     key = "target" if spec.use_target else "source"
     out = {key: img}
     if "image/filename" in ex:
@@ -222,9 +226,10 @@ def get_dataset(
     num_classes: int = 0,
     vocab_file: Optional[str] = None,
     use_target: bool = False,
+    image_key: str = "image/encoded",
 ) -> DatasetSpec:
     """Factory (reference dataset_factory.get_dataset with size/class
-    overrides via flags)."""
+    overrides via flags; ``image_key`` = image_only_key_name)."""
     if name not in DATASETS:
         raise ValueError(f"unknown dataset {name!r}; known: {sorted(DATASETS)}")
     info = DATASETS[name]
@@ -237,4 +242,5 @@ def get_dataset(
         num_classes=num_classes or info.get("num_classes", 0),
         vocab=vocab,
         use_target=use_target,
+        image_key=image_key,
     )
