@@ -72,6 +72,13 @@ class TestEvalCLIModes:
         run_eval.main(["--mode=msssim", *base])  # 8px -> documented skip path
         run_eval.main(["--mode=eval_debug", *base])
         assert os.path.exists(os.path.join(eval_dir, "eval_debug", "index.html"))
+        # swd at 8px is the documented skip path, but --swd_save_images must
+        # still dump the generated sample set (reference swd_save_images,
+        # image_generation.py:879-881).
+        run_eval.main(["--mode=swd", "--swd_num_images=8",
+                       "--swd_save_images", *base])
+        dbg = os.path.join(eval_dir, "swd_debug")
+        assert os.path.isdir(dbg) and os.listdir(dbg)
 
 
 class TestConfigIO:

@@ -41,6 +41,10 @@ VARIANTS = {
     "gan_trainer": {"trainer": "gan"},
     "gan_trainer_b32": {"trainer": "gan", "batch": 32, "n_rounds": 5},
     "res128": {"res": 128, "n_rounds": 20},
+    # remat (per-pass jax.checkpoint): measures the recompute FLOPs cost;
+    # pair with tools/exp_remat_memory.py for the HBM side.
+    "remat": {"remat": True},
+    "remat_b16": {"remat": True, "batch": 16, "n_rounds": 5},
     # correctness smoke (CPU-runnable): tiny shapes, both trainers
     "smoke": {"res": 16, "batch": 2, "n_rounds": 2},
     "smoke_gan": {"trainer": "gan", "res": 16, "batch": 2, "n_rounds": 2},
@@ -71,14 +75,16 @@ def run_variant(name: str, iters: int) -> dict:
         )
 
         cfg = TwinGANConfig(model=model, loss=loss, opt=opt, batch_size=batch,
-                            use_unet=ov.get("unet", True))
+                            use_unet=ov.get("unet", True),
+                            remat=ov.get("remat", False))
         trainer = TwinGANTrainer(cfg)
         keys = ("source", "target")
     else:
         from twingan_tpu.train.gan_trainer import GanTrainer, GanTrainerConfig
 
         cfg = GanTrainerConfig(model=model.replace(num_domains=1), loss=loss,
-                               opt=opt, batch_size=batch)
+                               opt=opt, batch_size=batch,
+                               remat=ov.get("remat", False))
         trainer = GanTrainer(cfg)
         keys = ("target",)  # generator input falls back to noise
 
@@ -113,7 +119,8 @@ def run_variant(name: str, iters: int) -> dict:
         "variant": name,
         "config": f"{ov.get('trainer', 'twingan')}_{res}px_b{batch}_"
                   f"{ov.get('loss', 'dragan')}_{ov.get('norm', 'instance_norm')}"
-                  f"{'' if ov.get('unet', True) else '_nounet'}",
+                  f"{'' if ov.get('unet', True) else '_nounet'}"
+                  f"{'_remat' if ov.get('remat') else ''}",
         "ms_per_step": round(dt / n_steps * 1e3, 2),
         "imgs_per_sec": round(n_steps * batch / dt, 1),
         "compile_s": round(compile_s, 1),

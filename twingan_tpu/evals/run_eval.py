@@ -78,6 +78,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_images", type=int, default=512)
     p.add_argument("--swd_num_images", type=int, default=8192)
+    p.add_argument("--swd_save_images", action="store_true",
+                   help="dump the generated SWD sample set under "
+                        "eval_dir/swd_debug/<ts>/ (reference flag, "
+                        "image_generation.py:158-161)")
     p.add_argument("--output_single_file_name", default="embeddings.csv")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -117,6 +121,19 @@ def main(argv=None) -> None:
             n += len(reals[-1])
             if n >= args.swd_num_images:
                 break
+        if args.swd_save_images:
+            # Debug dump of the generated SWD sample set (reference
+            # swd_save_images, image_generation.py:879-881: a timestamped
+            # swd_debug/ dir of the fakes).
+            import time as _time
+
+            from twingan_tpu.utils.image_io import save_image_grid
+
+            dbg = os.path.join(args.eval_dir, "swd_debug", str(int(_time.time())))
+            os.makedirs(dbg, exist_ok=True)
+            for bi, fb in enumerate(fakes):
+                save_image_grid(os.path.join(dbg, f"batch_{bi}.png"), fb)
+            print("swd debug images:", dbg)
         path = os.path.join(args.eval_dir, f"swd_eval_step_0_{n}_images.txt")
         table = swd_eval(jax.random.PRNGKey(args.seed), reals, fakes,
                          num_images=args.swd_num_images, save_path=path)
