@@ -373,3 +373,62 @@ class TestPRCurves:
         # Recall is monotonically nonincreasing in threshold.
         recalls = [float(l.split("\t")[2]) for l in lines[1:]]
         assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+class TestLabelsOffset:
+    """labels_offset (reference model_inheritor.py:213): N leading label
+    columns dropped, logits layer shrunk by N; the offset must persist in
+    the config snapshot and realign the tags-mode vocabulary."""
+
+    def test_offset_persists_and_batches_realign(self, tmp_path):
+        import jax
+
+        from twingan_tpu.runner.classifier_runner import (
+            build_parser, load_config_snapshot, make_batches,
+        )
+        from twingan_tpu.runner.checkpoint import save_config_snapshot
+        from twingan_tpu.train.classifier_trainer import ClassifierConfig
+
+        cfg = ClassifierConfig(network="lenet", num_classes=7, labels_offset=3,
+                               image_hw=28, batch_size=2)
+        save_config_snapshot(str(tmp_path), cfg)
+        restored = load_config_snapshot(str(tmp_path))
+        assert restored.labels_offset == 3
+        assert restored.num_classes == 7
+
+        # Synthetic batches already carry the reduced width.
+        args = build_parser().parse_args(
+            ["--train_dir", str(tmp_path), "--use_synthetic_data",
+             "--num_classes", "10", "--labels_offset", "3"])
+        batch = next(make_batches(args, restored, training=True))
+        assert batch["labels"].shape[-1] == 7
+
+    def test_tags_mode_vocab_alignment(self, tmp_path, capsys):
+        """Logit j trained against vocab j+offset must print vocab name
+        j+offset, not j (code-review finding)."""
+        import jax
+        import jax.numpy as jnp
+
+        from twingan_tpu.train.classifier_trainer import (
+            ClassifierConfig, ClassifierTrainer,
+        )
+
+        cfg = ClassifierConfig(network="lenet", num_classes=4, labels_offset=2,
+                               image_hw=28, batch_size=1)
+        trainer = ClassifierTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        full_vocab = [f"tag{i}" for i in range(6)]  # dataset vocabulary
+        # The runner slices the vocabulary by the offset before write_tags;
+        # replicate that contract and assert no out-of-range names appear.
+        tag_names = full_vocab[cfg.labels_offset:]
+        assert len(tag_names) == cfg.num_classes
+        rng = np.random.RandomState(0)
+        path = trainer.write_tags(
+            state, rng.rand(1, 28, 28, 3).astype(np.float32), ["img0"],
+            tag_names, str(tmp_path / "tags.txt"), threshold=0.0, top_k=4,
+        )
+        body = open(path).read()
+        # Every printed tag is from the offset-aligned tail of the vocab.
+        printed = [t for t in body.replace("\n", "\t").replace(",", "\t").split("\t")
+                   if t.startswith("tag")]
+        assert printed and all(t in tag_names for t in printed), body

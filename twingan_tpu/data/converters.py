@@ -408,6 +408,19 @@ def parse_danbooru_file_name(file_name: str) -> tuple[str, str, list]:
     return nsfw_rating, image_id, tags
 
 
+def _danbooru_scan(image_dir: str) -> dict:
+    """One pass over the dump: {path: (rating, in-file tags)} for every
+    well-formed '<rating> - <id>.<ext>' image with a readable sidecar."""
+    out = {}
+    for path in list_images(image_dir):
+        try:
+            rating, _, tags = parse_danbooru_file_name(path)
+        except (ValueError, OSError):
+            continue  # reference skips malformed entries
+        out[path] = (rating, tags)
+    return out
+
+
 def convert_danbooru_folder(
     image_dir: str,
     tags_xml: str,
@@ -418,6 +431,7 @@ def convert_danbooru_folder(
     safe_only: bool = False,
     unsafe_only: bool = False,
     max_num_labels: int = 0,
+    **folder_kw,
 ) -> int:
     """Danbooru dump ('<rating> - <id>.jpg' + per-image .txt tag sidecars +
     tags.xml vocabulary) -> tagged records, keeping only tags present in the
@@ -430,17 +444,22 @@ def convert_danbooru_folder(
     .py:40-42,218: keep only 's'-rated images, or only non-'s').
     max_num_labels restricts the kept tags to the dataset's most common N
     (reference _process_tags, convert_danbooru_data.py:91-118) — build the
-    matching label file with most_common_tags + write order."""
+    matching label file with most_common_tags + write order.
+    ``**folder_kw`` forwards the base-converter knobs (min_hw/max_hw/
+    max_ratio/min_sharpness/preprocess_hw/...) — the reference danbooru
+    converter inherits them from GeneralImageDataConverter
+    (convert_danbooru_data.py:54)."""
     _, name_to_index = parse_tags_xml(tags_xml)
+    scanned = _danbooru_scan(image_dir)
     keep: Optional[set] = None
     if max_num_labels:
-        keep = set(most_common_tags(image_dir, tags_xml, max_num_labels))
+        keep = set(_most_common_from_scan(scanned, name_to_index, max_num_labels))
 
     def extra(path: str) -> Optional[dict]:
-        try:
-            rating, _, tags = parse_danbooru_file_name(path)
-        except (ValueError, OSError):
-            return None  # reference skips malformed entries
+        entry = scanned.get(path)
+        if entry is None:
+            return None
+        rating, tags = entry
         if safe_only and rating != "s":
             return None
         if unsafe_only and rating == "s":
@@ -453,8 +472,21 @@ def convert_danbooru_folder(
 
     return convert_image_folder(
         image_dir, out_dir, dataset_name=dataset_name, split=split,
-        num_shards=num_shards, extra_features=extra,
+        num_shards=num_shards, extra_features=extra, **folder_kw,
     )
+
+
+def _most_common_from_scan(
+    scanned: dict, name_to_index: dict, max_num_labels: int
+) -> list[str]:
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for _, tags in scanned.values():
+        counts.update(t for t in tags if t in name_to_index)
+    ordered = ["NSFWRating_" + r for r in _DANBOORU_NSFW_RATINGS]
+    ordered += [t for t, _ in counts.most_common() if t not in set(ordered)]
+    return ordered[:max_num_labels]
 
 
 def most_common_tags(
@@ -465,19 +497,9 @@ def most_common_tags(
     convert_danbooru_data.py:91-118; the reference additionally reserves
     label index 0 as background — our vocab files are pure line-index
     spaces, so callers wanting that reservation prepend a line)."""
-    import collections
-
     _, name_to_index = parse_tags_xml(tags_xml)
-    counts: collections.Counter = collections.Counter()
-    for path in list_images(image_dir):
-        try:
-            _, _, tags = parse_danbooru_file_name(path)
-        except (ValueError, OSError):
-            continue
-        counts.update(t for t in tags if t in name_to_index)
-    ordered = ["NSFWRating_" + r for r in _DANBOORU_NSFW_RATINGS]
-    ordered += [t for t, _ in counts.most_common() if t not in set(ordered)]
-    return ordered[:max_num_labels]
+    return _most_common_from_scan(
+        _danbooru_scan(image_dir), name_to_index, max_num_labels)
 
 
 def write_tags_vocab(tags_xml: str, out_file: str) -> int:

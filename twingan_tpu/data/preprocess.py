@@ -306,11 +306,12 @@ def augment_batch(key: jax.Array, images: jax.Array, cfg: PreprocessConfig) -> j
         )
     if cfg.subtract_mean and x.shape[-1] == 3:
         # Back to the 0-255 scale minus the RGB means (vgg19 convention,
-        # danbooru_preprocessing.py:193-196). The reference subtracts before
-        # flip/color distortion; flips commute and the subtract_mean path is
-        # only used for eval-time feature extraction (is_training=False), so
-        # applying it after the [0,1]-scale augmentations is equivalent
-        # where it matters and keeps the distortion math on [0,1] inputs.
+        # danbooru_preprocessing.py:193-196). DELIBERATE ordering
+        # divergence: the reference subtracts before flip/color distortion
+        # (and so distorts 0-255-minus-mean data — arguably its bug); here
+        # the subtraction runs last so the distortion math stays on the
+        # [0,1] inputs it is defined for. Flips commute; eval-mode
+        # (is_training=False) is bit-identical to the reference.
         x = x * 255.0 - jnp.asarray(MEAN_IMAGE_SUBTRACTION_RGB, x.dtype)
     if cfg.color_space == "yiq":
         x = rgb_to_yiq(x)

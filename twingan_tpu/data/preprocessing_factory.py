@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from twingan_tpu.data.preprocess import (
+    MEAN_IMAGE_SUBTRACTION_RGB,
     PreprocessConfig,
     _random_crop_batch,
     augment_batch,
@@ -30,8 +31,9 @@ from twingan_tpu.data.preprocess import (
     postprocess_image,
 )
 
-# BGR means reversed to RGB (reference preprocessing_util / vgg, x255 scale).
-VGG_MEANS_RGB = (123.68, 116.779, 103.939)
+# BGR means reversed to RGB (reference preprocessing_util / vgg, x255
+# scale) — single source of truth lives in preprocess.py.
+VGG_MEANS_RGB = MEAN_IMAGE_SUBTRACTION_RGB
 
 
 def _resize(x, hw):

@@ -82,7 +82,10 @@ def make_batches(args, cfg: ClassifierConfig, training: bool):
         device_pp = get_preprocessing("danbooru", cfg.image_hw, is_training=training)
     key = jax.random.PRNGKey(args.seed + (0 if training else 1))
 
-    offset = getattr(args, "labels_offset", 0)
+    # The trained config's persisted offset wins (eval/tags on a train dir
+    # must realign without re-passing the flag); the CLI flag covers train
+    # mode and pre-offset configs.
+    offset = getattr(cfg, "labels_offset", 0) or getattr(args, "labels_offset", 0)
     if args.use_synthetic_data or not args.dataset_dir:
         rng = np.random.RandomState(args.seed)
         while True:
@@ -149,6 +152,7 @@ def main(argv=None):
         cfg = ClassifierConfig(
             network=args.model_name,
             num_classes=args.num_classes - args.labels_offset,
+            labels_offset=args.labels_offset,
             multi_label=args.multi_label,
             image_hw=args.train_image_size or 64,
             batch_size=args.batch_size,
@@ -200,6 +204,12 @@ def main(argv=None):
     elif args.mode == "tags":
         assert args.tags_id_lookup_file, "--tags_id_lookup_file required for tags mode"
         tag_names = [l.rstrip("\n") for l in open(args.tags_id_lookup_file, encoding="utf-8")]
+        # With labels_offset, logit j was trained against vocabulary index
+        # j+offset — drop the leading names so write_tags' tag_names[i]
+        # lookup stays aligned.
+        offset = getattr(cfg, "labels_offset", 0) or args.labels_offset
+        if offset:
+            tag_names = tag_names[offset:]
         out = args.output_dir or os.path.join(args.train_dir, "tags_out")
         os.makedirs(out, exist_ok=True)
         groups = None

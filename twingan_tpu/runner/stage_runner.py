@@ -38,7 +38,11 @@ from twingan_tpu.data.pipeline import (
     TFRecordSource,
     UnpairedSource,
 )
-from twingan_tpu.data.preprocess import PreprocessConfig, augment_batch
+from twingan_tpu.data.preprocess import (
+    PreprocessConfig,
+    augment_batch,
+    postprocess_image,
+)
 from twingan_tpu.data.tfrecord import list_shards
 from twingan_tpu.runner.checkpoint import CheckpointManager, save_config_snapshot
 from twingan_tpu.runner.migrate import migrate_state_dict
@@ -621,6 +625,16 @@ class StageRunner:
         }
 
     # ------------------------------------------------------------------ #
+    def _display(self, x) -> np.ndarray:
+        """Training-space batch -> [0,1] RGB display space (the danbooru
+        postprocess inverse: undoes color_space and subtract_mean — without
+        it, --subtract_mean grids would clip to garbage and SWD scores
+        would live on the 0-255 scale)."""
+        return np.asarray(postprocess_image(
+            jnp.asarray(np.asarray(x), jnp.float32),
+            self.cfg.color_space, subtract_mean=self.cfg.subtract_mean,
+        ))
+
     def _in_training_swd(
         self, trainer, state, stage_dir: str, step: int, fixed_batch, writer
     ) -> None:
@@ -635,6 +649,15 @@ class StageRunner:
             fixed_batch = fixed_batch or {}
             real = fixed_batch.get("target")
             if real is None:
+                if jax.process_count() > 1 and not getattr(
+                    self, "_warned_swd_multihost", False
+                ):
+                    # fixed_batch capture is single-process-only (it is a
+                    # coordinator observability feature); say so once
+                    # instead of silently producing no tables.
+                    print("[in-training swd skipped on multi-host: run "
+                          "evals.run_eval against checkpoints instead]")
+                    self._warned_swd_multihost = True
                 return
             real = np.asarray(real, np.float32)
             if real.shape[1] < 16:
@@ -673,8 +696,11 @@ class StageRunner:
                 z = jnp.asarray(rng.standard_normal((len(real), dim)).astype(np.float32))
                 fake = np.asarray(trainer.sample(state, z).astype(jnp.float32))
             out = os.path.join(stage_dir, f"swd_in_training_{step}.txt")
+            # Display space so scores are [0,1]-scale comparable across
+            # color_space / subtract_mean configs.
             table = swd_eval(
-                jax.random.PRNGKey(step), [real], [fake],
+                jax.random.PRNGKey(step),
+                [self._display(real)], [self._display(fake)],
                 num_images=min(len(real), len(fake)), save_path=out,
             )
             if table:
@@ -707,9 +733,18 @@ class StageRunner:
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 255.0
         arr = np.asarray(arr, np.float32)
-        if arr.ndim == 3:
-            arr = arr[None]
-        if arr.shape[1] != res:
+        if arr.ndim == 2:
+            arr = arr[None, ..., None]           # single grayscale image
+        elif arr.ndim == 3:
+            # (H, W, C) single image vs (N, H, W) grayscale batch.
+            arr = arr[None] if arr.shape[-1] in (1, 3, 4) else arr[..., None]
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        elif arr.shape[-1] == 4:
+            arr = arr[..., :3]                   # drop alpha
+        if arr.shape[1:3] != (res, res):
+            # Square resize regardless of aspect (reference scipy.misc
+            # imresize to (hw, hw), twingan.py:586).
             arr = np.asarray(jax.image.resize(
                 jnp.asarray(arr), (arr.shape[0], res, res, arr.shape[-1]),
                 "bilinear",
@@ -742,11 +777,11 @@ class StageRunner:
                 s_prime = np.asarray(trainer.translate(state, tgt, "t2s").astype(jnp.float32))
                 save_image_grid(
                     os.path.join(out_dir, f"{step}_source_t_prime.png"),
-                    stack_comparison([np.asarray(src), t_prime]),
+                    self._display(stack_comparison([np.asarray(src), t_prime])),
                 )
                 save_image_grid(
                     os.path.join(out_dir, f"{step}_target_s_prime.png"),
-                    stack_comparison([np.asarray(tgt), s_prime]),
+                    self._display(stack_comparison([np.asarray(tgt), s_prime])),
                 )
                 if trainer.cfg.use_style_embedding:
                     # Style interpolation: one fixed source, style lerped
@@ -765,24 +800,30 @@ class StageRunner:
                     )
                     save_image_grid(
                         os.path.join(out_dir, f"{step}_custom_t_style_roll.png"),
-                        stack_comparison([np.asarray(one_src), rolled]),
+                        self._display(stack_comparison([np.asarray(one_src), rolled])),
                     )
                 custom = self._fixed_custom_sources(res, n_show)
                 if custom is not None:
                     # Fixed user-supplied sources translated every dump
                     # (reference custom_sources branch, twingan.py:636-640:
                     # writes %d_sources_ph.png + %d_custom_t_style_rand.png).
-                    csrc = jnp.asarray(custom, jnp.float32)
+                    # The npy is [0,1] RGB; the model consumes training
+                    # space — run the eval-mode preprocess tail first.
+                    pp_eval = dataclasses.replace(
+                        self._preprocess_cfg(res), is_training=False)
+                    csrc = augment_batch(
+                        jax.random.PRNGKey(0),
+                        jnp.asarray(custom, jnp.float32), pp_eval)
                     cout = np.asarray(
                         trainer.translate(state, csrc, "s2t").astype(jnp.float32)
                     )
                     save_image_grid(
                         os.path.join(out_dir, f"{step}_sources_ph.png"),
-                        np.asarray(csrc),
+                        np.asarray(custom),
                     )
                     save_image_grid(
                         os.path.join(out_dir, f"{step}_custom_t_style_rand.png"),
-                        cout,
+                        self._display(cout),
                     )
             elif getattr(trainer, "is_pggan", True):
                 from twingan_tpu.models.pggan import noise_shape
@@ -804,7 +845,7 @@ class StageRunner:
                     k = min(len(r) for r in rows)
                     save_image_grid(
                         os.path.join(out_dir, f"{step}.png"),
-                        stack_comparison([r[:k] for r in rows]),
+                        self._display(stack_comparison([r[:k] for r in rows])),
                     )
                 else:
                     # Noise interpolation (reference seed 314, lerp z2 -> z1).
@@ -824,7 +865,7 @@ class StageRunner:
                     k = min(len(r) for r in rows)
                     save_image_grid(
                         os.path.join(out_dir, f"{step}.png"),
-                        stack_comparison([r[:k] for r in rows]),
+                        self._display(stack_comparison([r[:k] for r in rows])),
                     )
             else:
                 # DCGAN (or any flat-latent network): noise interpolation
@@ -842,7 +883,7 @@ class StageRunner:
                 k = min(len(r) for r in rows)
                 save_image_grid(
                     os.path.join(out_dir, f"{step}.png"),
-                    stack_comparison([r[:k] for r in rows]),
+                    self._display(stack_comparison([r[:k] for r in rows])),
                 )
         except Exception as e:  # sample dumps must never kill training
             print(f"[sample dump failed: {e}]")

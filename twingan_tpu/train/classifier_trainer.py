@@ -31,6 +31,11 @@ class ClassifierConfig:
     network: str = "illust2vec"
     num_classes: int = 1539
     multi_label: bool = True
+    # Dropped leading label columns (reference labels_offset,
+    # model_inheritor.py:213): num_classes here is ALREADY reduced; the
+    # offset is persisted so eval/tags modes realign dataset labels and
+    # vocabulary names with the shrunken logits layer.
+    labels_offset: int = 0
     image_hw: int = 224
     batch_size: int = 32
     label_smoothing: float = 0.0
