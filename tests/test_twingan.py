@@ -213,3 +213,89 @@ class TestTwinGANPolyak:
         imgs = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
         out = trainer.translate(state, imgs, "s2t")
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedPasses:
+    """fuse_passes concatenates same-weight passes into single applies; for
+    per-sample norms this must be EXACTLY the unfused math (the D is
+    norm-free and minibatch-stddev groups align with sub-batch boundaries).
+    """
+
+    def _trainers(self, res=8, **kw):
+        model_kw = kw.pop("model_kw", {})
+        model_kw.setdefault("norm_type", "instance_norm")
+        model_kw.setdefault("resolution", res)
+        cfgs = [
+            small_cfg(fuse_passes=f, model_kw=dict(model_kw), **kw)
+            for f in (False, True)
+        ]
+        return [TwinGANTrainer(c) for c in cfgs]
+
+    def _assert_step_parity(self, res=8, n=4, **kw):
+        un, fu = self._trainers(res=res, **kw)
+        state0 = un.init_state(jax.random.PRNGKey(0))
+        b = batch(0, n=n, res=res, embed_dim=kw.get("source_embed_dim", 0))
+        rng = jax.random.PRNGKey(1)
+        su, mu = un._g_step(state0, b, rng)
+        sf, mf = fu._g_step(state0, b, rng)
+        assert set(mu) == set(mf)
+        for k in mu:
+            np.testing.assert_allclose(
+                np.asarray(mu[k]), np.asarray(mf[k]), rtol=2e-4, atol=2e-5,
+                err_msg=f"g metric {k}")
+        for (ku, lu), (kf, lf) in zip(
+            jax.tree_util.tree_flatten_with_path(su.params)[0][:],
+            jax.tree_util.tree_flatten_with_path(sf.params)[0][:],
+        ):
+            assert jax.tree_util.keystr(ku) == jax.tree_util.keystr(kf)
+            np.testing.assert_allclose(
+                np.asarray(lu), np.asarray(lf), rtol=2e-4, atol=2e-5,
+                err_msg=f"g param {jax.tree_util.keystr(ku)}")
+        b2 = batch(1, n=n, res=res, embed_dim=kw.get("source_embed_dim", 0))
+        du, mdu = un._d_step(su, b2, rng)
+        df, mdf = fu._d_step(sf, b2, rng)
+        assert set(mdu) == set(mdf)
+        for k in mdu:
+            np.testing.assert_allclose(
+                np.asarray(mdu[k]), np.asarray(mdf[k]), rtol=2e-4, atol=2e-5,
+                err_msg=f"d metric {k}")
+
+    def test_auto_resolution(self):
+        # instance norm -> fused; batch-coupled norms -> unfused.
+        assert small_cfg(model_kw={"norm_type": "instance_norm"}).fuse
+        assert not small_cfg(model_kw={"norm_type": "batch_norm"}).fuse
+        assert not small_cfg(model_kw={"norm_type": "batch_renorm"}).fuse
+        with pytest.raises(ValueError):
+            small_cfg(fuse_passes=True, model_kw={"norm_type": "batch_norm"})
+
+    def test_parity_small_res(self):
+        self._assert_step_parity(res=8)
+
+    def test_parity_unet_growing(self):
+        self._assert_step_parity(
+            res=16, model_kw={"resolution": 16, "is_growing": True},
+            use_unet=True, max_steps=100,
+        )
+
+    def test_parity_style_embedding(self):
+        self._assert_step_parity(
+            use_style_embedding=True, style_embed_size=8,
+            model_kw={"style_dim": 8},
+        )
+
+    def test_parity_cycle_gan_at_64(self):
+        # res >= 64 activates the cycle GAN terms: D applies fuse 3 passes.
+        self._assert_step_parity(res=64, n=2, batch_size=2)
+
+    def test_grouped_minibatch_stddev_matches_per_pass(self):
+        from twingan_tpu import ops
+
+        rng = np.random.RandomState(0)
+        parts = [rng.rand(3, 4, 4, 5).astype(np.float32) for _ in range(3)]
+        fused = np.asarray(
+            ops.minibatch_stddev(jnp.asarray(np.concatenate(parts)), num_groups=3)
+        )
+        separate = np.concatenate(
+            [np.asarray(ops.minibatch_stddev(jnp.asarray(p))) for p in parts]
+        )
+        np.testing.assert_allclose(fused, separate, rtol=1e-6, atol=1e-7)

@@ -223,6 +223,7 @@ class Discriminator(nn.Module):
         cond_embed: Optional[jax.Array] = None,
         cond_image: Optional[jax.Array] = None,
         train: bool = False,
+        stddev_groups: int = 1,
     ) -> tuple[jax.Array, Dict[str, jax.Array]]:
         cfg = self.cfg
         ctx = NormCtx(train=train)
@@ -287,7 +288,7 @@ class Discriminator(nn.Module):
             )
             net = jnp.concatenate([net, tiled], axis=-1)
 
-        net = ops.minibatch_stddev(net)
+        net = ops.minibatch_stddev(net, num_groups=stddev_groups)
         net = ConvBlock(cfg, mc, kernel_size=3, discriminator=True,
                         name="before_fc_conv0")(maybe_gdrop(net), ctx)
         net = ConvBlock(cfg, mc, kernel_size=4, padding="VALID", discriminator=True,

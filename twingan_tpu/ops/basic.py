@@ -71,7 +71,9 @@ def avg_pool_2x(x: jax.Array) -> jax.Array:
 box_downsample_2x = avg_pool_2x
 
 
-def minibatch_stddev(x: jax.Array, eps: float | None = None) -> jax.Array:
+def minibatch_stddev(
+    x: jax.Array, eps: float | None = None, num_groups: int = 1
+) -> jax.Array:
     """Concatenate the across-minibatch stddev as one constant feature map.
 
     Matches the reference: stddev over the batch axis per (h, w, c) location,
@@ -79,15 +81,34 @@ def minibatch_stddev(x: jax.Array, eps: float | None = None) -> jax.Array:
     [batch, H, W, 1] and concatenated on channels. The reference tiles to a
     hard-coded 4x4 because it is only used on the 4x4 discriminator block; we
     tile to the actual spatial shape.
+
+    ``num_groups > 1`` splits the batch into contiguous equal groups and
+    computes one stddev scalar per group. This exists for the fused
+    discriminator step: concatenating the real/prime/cycle sub-batches into
+    one forward with groups aligned to the sub-batch boundaries reproduces
+    the reference's per-pass stddev exactly (each graph copy in
+    /root/reference/twingan.py:367-381 sees only its own batch).
     """
     if eps is None:
         eps = 1e-8 if x.dtype == jnp.float32 else 1e-6
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
-    std = jnp.sqrt(var + jnp.asarray(eps, x.dtype))
-    scalar = jnp.mean(std)
     b, h, w, _ = x.shape
-    tiled = jnp.full((b, h, w, 1), scalar, dtype=x.dtype)
+    if num_groups <= 1:
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+        std = jnp.sqrt(var + jnp.asarray(eps, x.dtype))
+        scalar = jnp.mean(std)
+        tiled = jnp.full((b, h, w, 1), scalar, dtype=x.dtype)
+        return jnp.concatenate([x, tiled], axis=-1)
+    if b % num_groups:
+        raise ValueError(f"batch {b} not divisible by num_groups {num_groups}")
+    xg = x.reshape(num_groups, b // num_groups, h, w, x.shape[-1])
+    mean = jnp.mean(xg, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=1, keepdims=True)
+    std = jnp.sqrt(var + jnp.asarray(eps, x.dtype))
+    scalar = jnp.mean(std, axis=(1, 2, 3, 4))  # [num_groups]
+    tiled = jnp.broadcast_to(
+        scalar[:, None, None, None, None], (num_groups, b // num_groups, h, w, 1)
+    ).reshape(b, h, w, 1).astype(x.dtype)
     return jnp.concatenate([x, tiled], axis=-1)
 
 

@@ -110,9 +110,29 @@ class TwinGANConfig:
     # (jax.checkpoint): peak memory ~one pass's activations instead of all
     # ten; enables larger 256px batches under DRAGAN's double-backward.
     remat: bool = False
+    # Concatenate same-weight passes into single module applies (the 4 G
+    # passes -> 2, the per-domain real/prime/cycle D passes -> 1 each):
+    # fewer, larger ops keep the MXU occupied at the reference's small
+    # 256px batch sizes. Exactly equivalent for per-sample norms — the
+    # discriminator is norm-free and minibatch-stddev uses groups aligned
+    # to the sub-batch boundaries (ops.minibatch_stddev num_groups).
+    # None = auto: on unless norm_type couples statistics across the batch
+    # (batch_norm / batch_renorm*), where concatenation would mix the
+    # prime/cycle moments the reference computes per pass.
+    fuse_passes: Optional[bool] = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
+
+    @property
+    def batch_coupled_norm(self) -> bool:
+        return self.model.norm_type.startswith(("batch_norm", "batch_renorm"))
+
+    @property
+    def fuse(self) -> bool:
+        if self.fuse_passes is None:
+            return not self.batch_coupled_norm
+        return self.fuse_passes
 
     def __post_init__(self):
         if self.model.num_domains != 2:
@@ -121,6 +141,12 @@ class TwinGANConfig:
             raise ValueError(
                 "model.style_dim must equal style_embed_size when "
                 "use_style_embedding is on"
+            )
+        if self.fuse_passes and self.batch_coupled_norm:
+            raise ValueError(
+                "fuse_passes=True with a batch-coupled norm "
+                f"({self.model.norm_type}) would mix the per-pass batch "
+                "moments; use per-sample norms or fuse_passes=False"
             )
 
 
@@ -298,10 +324,30 @@ class TwinGANTrainer(BaseGanTrainer):
         )
 
         # Output naming: the prefix is the OUTPUT domain (twingan.py:240).
-        s_prime = gen_apply(enc_t, DOMAIN_S, random_style, skips_t, u)
-        s_cycle = gen_apply(enc_s, DOMAIN_S, style_s, skips_s, u)
-        t_prime = gen_apply(enc_s, DOMAIN_T, random_style, skips_s, u)
-        t_cycle = gen_apply(enc_t, DOMAIN_T, style_t, skips_t, u)
+        if cfg.fuse:
+            # One generator apply per OUTPUT domain over the concatenated
+            # [prime; cycle] sub-batches — 2 applies instead of 4. Exact for
+            # per-sample norms (guarded by TwinGANConfig.fuse).
+            cat = lambda a, b: (
+                None if a is None
+                else jax.tree_util.tree_map(
+                    lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+            )
+            out_s = gen_apply(
+                cat(enc_t, enc_s), DOMAIN_S, cat(random_style, style_s),
+                cat(skips_t, skips_s), u,
+            )
+            s_prime, s_cycle = jnp.split(out_s, 2, axis=0)
+            out_t = gen_apply(
+                cat(enc_s, enc_t), DOMAIN_T, cat(random_style, style_t),
+                cat(skips_s, skips_t), u,
+            )
+            t_prime, t_cycle = jnp.split(out_t, 2, axis=0)
+        else:
+            s_prime = gen_apply(enc_t, DOMAIN_S, random_style, skips_t, u)
+            s_cycle = gen_apply(enc_s, DOMAIN_S, style_s, skips_s, u)
+            t_prime = gen_apply(enc_s, DOMAIN_T, random_style, skips_s, u)
+            t_cycle = gen_apply(enc_t, DOMAIN_T, style_t, skips_t, u)
 
         # Re-encode primes for the content/style losses (no state updates:
         # the reference reuses the same norm update ops once per step).
@@ -341,11 +387,13 @@ class TwinGANTrainer(BaseGanTrainer):
 
         return outs, new_state
 
-    def _dis_apply(self, name, dis_params, model_state, images, alpha, gdrop_strength, k_gdrop, update):
+    def _dis_apply(self, name, dis_params, model_state, images, alpha,
+                   gdrop_strength, k_gdrop, update, stddev_groups=1):
         out, st = apply_model(
             self.dis[name], dis_params[name], model_state[name], images, alpha=alpha,
             gdrop_strength=gdrop_strength, train=True, update_state=update,
             rngs={"gdrop": k_gdrop}, remat=self.cfg.remat,
+            stddev_groups=stddev_groups,
         )
         return out[0], st  # (pred, end_points), state
 
@@ -415,7 +463,22 @@ class TwinGANTrainer(BaseGanTrainer):
             # Fresh gdrop noise per discriminator pass, matching the
             # reference's independent tf.random_normal per graph copy
             # (libs/gdrop.py used once per discriminator call).
+            need_cycle = cfg.model.resolution >= 64 and cfg.do_l_cyc_gan
             for pi, (domain, dis_name) in enumerate((("s", DIS_S), ("t", DIS_T))):
+                if cfg.fuse:
+                    # One D apply over [prime; cycle] (cycle only when its
+                    # GAN term is active); stddev groups keep per-pass stats.
+                    kinds = ("prime", "cycle") if need_cycle else ("prime",)
+                    imgs = jnp.concatenate(
+                        [outs[f"{domain}_{k}"] for k in kinds], axis=0)
+                    pred, _ = self._dis_apply(
+                        dis_name, state.params, state.model_state, imgs, alpha,
+                        state.gdrop_strength, jax.random.fold_in(k_gdrop, 2 * pi),
+                        False, stddev_groups=len(kinds),
+                    )
+                    for k, p in zip(kinds, jnp.split(pred, len(kinds), axis=0)):
+                        preds[f"dis_{domain}_{k}"] = p
+                    continue
                 for ki, kind in enumerate(("prime", "cycle")):
                     pred, _ = self._dis_apply(
                         dis_name, state.params, state.model_state,
@@ -483,27 +546,48 @@ class TwinGANTrainer(BaseGanTrainer):
             # Independent gdrop noise per discriminator pass (real / prime /
             # cycle / gradient-penalty), matching the reference's fresh
             # tf.random_normal per discriminator graph copy.
+            need_cycle = cfg.model.resolution >= 64 and cfg.do_l_cyc_gan
             for base, (domain, dis_name, real, k_gp) in enumerate((
                 ("s", DIS_S, sources, k_gp_s),
                 ("t", DIS_T, targets, k_gp_t),
             )):
                 fold = lambda i, b=base: jax.random.fold_in(k_gdrop, 4 * b + i)
-                real_pred, st = self._dis_apply(
-                    dis_name, dis_side_params, state.model_state, real, alpha,
-                    state.gdrop_strength, fold(0), True,
-                )
-                new_dis_state[dis_name] = st
-                prime_pred, _ = self._dis_apply(
-                    dis_name, dis_side_params, state.model_state,
-                    fakes[f"{domain}_prime"], alpha, state.gdrop_strength, fold(1), False,
-                )
+                if cfg.fuse:
+                    # One D apply over [real; prime; (cycle)] — sub-batch-
+                    # aligned stddev groups make it exactly the per-pass
+                    # math (reference's 3 graph copies, twingan.py:367-381).
+                    parts = [real, fakes[f"{domain}_prime"]]
+                    if need_cycle:
+                        parts.append(fakes[f"{domain}_cycle"])
+                    pred, st = self._dis_apply(
+                        dis_name, dis_side_params, state.model_state,
+                        jnp.concatenate(parts, axis=0), alpha,
+                        state.gdrop_strength, fold(0), True,
+                        stddev_groups=len(parts),
+                    )
+                    new_dis_state[dis_name] = st
+                    split = jnp.split(pred, len(parts), axis=0)
+                    real_pred, prime_pred = split[0], split[1]
+                    cycle_pred = split[2] if need_cycle else None
+                else:
+                    real_pred, st = self._dis_apply(
+                        dis_name, dis_side_params, state.model_state, real, alpha,
+                        state.gdrop_strength, fold(0), True,
+                    )
+                    new_dis_state[dis_name] = st
+                    prime_pred, _ = self._dis_apply(
+                        dis_name, dis_side_params, state.model_state,
+                        fakes[f"{domain}_prime"], alpha, state.gdrop_strength, fold(1), False,
+                    )
+                    cycle_pred = None
+                    if need_cycle:
+                        cycle_pred, _ = self._dis_apply(
+                            dis_name, dis_side_params, state.model_state,
+                            fakes[f"{domain}_cycle"], alpha, state.gdrop_strength, fold(2), False,
+                        )
                 for name, val in discriminator_gan_loss(cfg.loss, prime_pred, real_pred).items():
                     losses[f"{name}_prime_{domain}"] = val
-                if cfg.model.resolution >= 64 and cfg.do_l_cyc_gan:
-                    cycle_pred, _ = self._dis_apply(
-                        dis_name, dis_side_params, state.model_state,
-                        fakes[f"{domain}_cycle"], alpha, state.gdrop_strength, fold(2), False,
-                    )
+                if need_cycle:
                     # only_real_fake_loss=True for the cycle term.
                     cyc = discriminator_gan_loss(cfg.loss, cycle_pred, real_pred)
                     for name in ("discriminator_loss", "discriminator_fake_loss", "discriminator_real_loss"):
