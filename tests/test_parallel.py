@@ -96,3 +96,113 @@ class TestMultiHost:
             "num_processes": 4,
             "process_id": 2,
         }
+
+
+class TestContextParallelAttention:
+    """attention_context_parallel wires ops.sharded_attention_core into
+    SelfAttention via the current-mesh registry (VERDICT round-2 item 7):
+    the context-parallel variant must be reachable from a config and match
+    the local einsum path exactly."""
+
+    def _generator(self, cp: bool):
+        from twingan_tpu.models.pggan import Generator
+
+        cfg = PGGANConfig(
+            resolution=16, max_channels=16, norm_type="instance_norm",
+            do_self_attention=True, self_attention_hw=8,
+            attention_context_parallel=cp,
+        )
+        return Generator(cfg)
+
+    def test_matches_local_path(self):
+        from twingan_tpu.parallel import current_mesh, set_current_mesh
+
+        mesh = create_mesh()
+        code = jnp.asarray(
+            np.random.RandomState(0).rand(8, 4, 4, 16).astype(np.float32))
+        local_gen = self._generator(cp=False)
+        variables = local_gen.init(jax.random.PRNGKey(0), code)
+        ref, _ = local_gen.apply(variables, code)
+
+        prev = current_mesh()
+        set_current_mesh(mesh)
+        try:
+            cp_gen = self._generator(cp=True)
+            out, _ = cp_gen.apply(variables, code)
+        finally:
+            set_current_mesh(prev)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_local_path(self):
+        from twingan_tpu.parallel import current_mesh, set_current_mesh
+
+        mesh = create_mesh()
+        code = jnp.asarray(
+            np.random.RandomState(1).rand(8, 4, 4, 16).astype(np.float32))
+        local_gen = self._generator(cp=False)
+        variables = local_gen.init(jax.random.PRNGKey(0), code)
+
+        def loss(params, gen):
+            img, _ = gen.apply({"params": params}, code)
+            return jnp.sum(img.astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(loss)(variables["params"], local_gen)
+        prev = current_mesh()
+        set_current_mesh(mesh)
+        try:
+            g_cp = jax.grad(loss)(variables["params"], self._generator(cp=True))
+        finally:
+            set_current_mesh(prev)
+        # fp32 reassociation in the all_gather transpose (verified: exact in
+        # higher-precision accumulation) shows up as ~3e-4 of the GLOBAL
+        # gradient scale; per-leaf relative comparison misleads on leaves
+        # whose sums cancel to near zero (norm betas).
+        ref_leaves = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+        cp_leaves = jax.tree_util.tree_flatten_with_path(g_cp)[0]
+        gscale = max(float(np.max(np.abs(l))) for _, l in ref_leaves)
+        for (ku, lu), (kf, lf) in zip(ref_leaves, cp_leaves):
+            np.testing.assert_allclose(
+                np.asarray(lu), np.asarray(lf), rtol=1e-2, atol=2e-3 * gscale,
+                err_msg=jax.tree_util.keystr(ku))
+
+    def test_no_mesh_falls_back_to_local(self):
+        # cp flag with no registered mesh: local path, no error.
+        code = jnp.asarray(
+            np.random.RandomState(2).rand(2, 4, 4, 16).astype(np.float32))
+        gen = self._generator(cp=True)
+        variables = gen.init(jax.random.PRNGKey(0), code)
+        out, _ = gen.apply(variables, code)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_jitted_train_step_with_cp(self):
+        """The cp path must compose with the jitted sharded train step (the
+        512px stretch-config usage: StageRunner sets the mesh, batches are
+        data-sharded, shard_map reshards N inside)."""
+        from twingan_tpu.parallel import set_current_mesh, current_mesh
+        from twingan_tpu.train.losses import GanLossConfig
+
+        mesh = create_mesh()
+        prev = current_mesh()
+        set_current_mesh(mesh)
+        try:
+            cfg = GanTrainerConfig(
+                model=PGGANConfig(
+                    resolution=16, max_channels=16, norm_type="instance_norm",
+                    do_self_attention=True, self_attention_hw=8,
+                    attention_context_parallel=True,
+                ),
+                batch_size=8,
+                opt=OptimizerConfig(learning_rate=1e-3),
+                loss=GanLossConfig(architecture="hinge"),
+            )
+            trainer = GanTrainer(cfg)
+            state = replicate(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+            batch = shard_batch(
+                {"target": np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)},
+                mesh,
+            )
+            state, metrics = trainer.g_step(state, batch, jax.random.PRNGKey(1))
+            assert np.isfinite(float(metrics["generator_loss"]))
+        finally:
+            set_current_mesh(prev)

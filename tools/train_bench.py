@@ -43,7 +43,9 @@ def bench_pggan(res: int, batch: int, n_rounds: int) -> dict:
     return _run(trainer, {"target"}, res, batch, n_rounds, f"pggan_dragan_{res}px")
 
 
-def bench_twingan(res: int, batch: int, n_rounds: int) -> dict:
+def bench_twingan(res: int, batch: int, n_rounds: int,
+                  norm_type: str = "batch_norm", fuse: str = "auto",
+                  remat: bool = False) -> dict:
     from twingan_tpu.models.config import PGGANConfig
     from twingan_tpu.train.losses import GanLossConfig
     from twingan_tpu.train.optimizers import OptimizerConfig
@@ -51,14 +53,17 @@ def bench_twingan(res: int, batch: int, n_rounds: int) -> dict:
 
     cfg = TwinGANConfig(
         model=PGGANConfig(resolution=res, max_channels=256, num_domains=2,
-                          equalized_lr=True, norm_type="batch_norm", dtype="bfloat16"),
+                          equalized_lr=True, norm_type=norm_type, dtype="bfloat16"),
         loss=GanLossConfig(architecture="dragan"),
         opt=OptimizerConfig(learning_rate=1e-4),
         batch_size=batch,
         use_unet=True,
+        fuse_passes={"auto": None, "on": True, "off": False}[fuse],
+        remat=remat,
     )
     trainer = TwinGANTrainer(cfg)
-    return _run(trainer, {"source", "target"}, res, batch, n_rounds, f"twingan_{res}px")
+    tag = f"twingan_{res}px" + ("_fused" if cfg.fuse else "") + ("_remat" if remat else "")
+    return _run(trainer, {"source", "target"}, res, batch, n_rounds, tag)
 
 
 def bench_stretch512(batch: int, n_rounds: int, sa_hw: int = 256) -> dict:
@@ -121,6 +126,13 @@ def main(argv=None) -> None:
     p.add_argument("--program", default="both",
                    choices=["pggan", "twingan", "both", "stretch512"])
     p.add_argument("--rounds", type=int, default=0, help="rounds per measurement (0 = auto)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="override the reference batch schedule (twingan only)")
+    p.add_argument("--norm_type", default="batch_norm",
+                   help="twingan norm (instance_norm = the quality-run config)")
+    p.add_argument("--fuse", default="auto", choices=["auto", "on", "off"],
+                   help="fuse_passes (twingan only)")
+    p.add_argument("--remat", action="store_true", help="per-pass jax.checkpoint")
     args = p.parse_args(argv)
     if args.program == "stretch512":
         print(json.dumps(bench_stretch512(
@@ -131,7 +143,9 @@ def main(argv=None) -> None:
         if args.program in ("pggan", "both"):
             print(json.dumps(bench_pggan(res, PGGAN_BATCH_SCHEDULE.get(res, 8), n_rounds)))
         if args.program in ("twingan", "both"):
-            print(json.dumps(bench_twingan(res, TWINGAN_BATCH_SCHEDULE.get(res, 4), n_rounds)))
+            print(json.dumps(bench_twingan(
+                res, args.batch or TWINGAN_BATCH_SCHEDULE.get(res, 4), n_rounds,
+                norm_type=args.norm_type, fuse=args.fuse, remat=args.remat)))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,12 @@ class PGGANConfig:
     use_larger_filter_at_rgb_layer: bool = False
     do_self_attention: bool = False
     self_attention_hw: int = 64
+    # Context-parallel self-attention (SURVEY.md section 5.7): shard the
+    # N = hw^2 spatial positions across the current device mesh
+    # (parallel.set_current_mesh, set by StageRunner) with KV all-gather
+    # over ICI — ops.sharded_attention_core. Falls back to the local path
+    # when no mesh is active or the mesh has one device.
+    attention_context_parallel: bool = False
     unet_max_concat_hw: int | None = None
 
     # Domain-adaptive norm banks (TwinGAN '_s'/'_t' postfixes). Norm params

@@ -478,8 +478,18 @@ class SelfAttention(nn.Module):
         h = ConvBlock(self.cfg, c, 1, activation=None,
                       discriminator=self.discriminator, name="sa_h")(x, ctx)
         n = h_ * w_
-        o = ops.self_attention(
-            f.reshape(b, n, c_bar), g.reshape(b, n, c_bar), h.reshape(b, n, c)
-        ).reshape(b, h_, w_, c)
+        fr, gr, hr = f.reshape(b, n, c_bar), g.reshape(b, n, c_bar), h.reshape(b, n, c)
+        mesh = None
+        if self.cfg.attention_context_parallel:
+            from twingan_tpu.parallel import current_mesh
+
+            mesh = current_mesh()
+            if mesh is not None and (mesh.size == 1 or n % mesh.size):
+                mesh = None  # degenerate mesh / indivisible N: local path
+        if mesh is not None:
+            o = ops.sharded_attention_core(fr, gr, hr, mesh)
+        else:
+            o = ops.self_attention(fr, gr, hr)
+        o = o.reshape(b, h_, w_, c)
         gamma = self.param("sa_gamma", nn.initializers.zeros, (1,), jnp.float32)
         return gamma.astype(x.dtype) * o + x

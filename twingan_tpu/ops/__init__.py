@@ -33,6 +33,6 @@ from twingan_tpu.ops.norms import (
 )
 from twingan_tpu.ops.fused_scale import up2_conv, up2_conv_kernel
 from twingan_tpu.ops.sn import spectral_normalize, power_iteration
-from twingan_tpu.ops.attention import self_attention
+from twingan_tpu.ops.attention import self_attention, sharded_attention_core
 from twingan_tpu.ops.msssim import ssim, msssim
 from twingan_tpu.ops.swd import sliced_wasserstein_distance

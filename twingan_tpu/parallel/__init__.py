@@ -9,6 +9,8 @@ sharded on the 'data' axis, XLA inserting the gradient all-reduce
 
 from twingan_tpu.parallel.mesh import (
     create_mesh,
+    current_mesh,
+    set_current_mesh,
     shard_batch,
     replicate,
     data_sharding,

@@ -27,6 +27,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# The active device mesh, registered by the runner (set_current_mesh) so
+# model-internal parallel paths (context-parallel self-attention,
+# ops.sharded_attention_core) can reach it without threading a Mesh through
+# every module signature. None = single-device / no mesh.
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
 
 def create_mesh(devices: Optional[Iterable[jax.Device]] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""

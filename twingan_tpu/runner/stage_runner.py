@@ -194,9 +194,12 @@ class StageRunner:
             )
         self.n_devices = n_dev
         if n_dev > 1:
-            from twingan_tpu.parallel import create_mesh
+            from twingan_tpu.parallel import create_mesh, set_current_mesh
 
             self.mesh = create_mesh(jax.devices()[:n_dev])
+            # Model-internal parallel paths (context-parallel self-attention)
+            # resolve the mesh through this registry.
+            set_current_mesh(self.mesh)
             from jax.sharding import NamedSharding, PartitionSpec
 
             # P('data') shards axis 0 at any rank (images and embeddings).
