@@ -306,3 +306,312 @@ class TestFtrlParity:
     def test_other_power(self):
         ours, theirs = self._trajectories(l1=0.01, l2=0.0, power=-0.7)
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def _save_tf1_ckpt(tmp_path, arrays, sub="stage"):
+    """Write a TF1 checkpoint holding the given {var_name: np.ndarray}."""
+    import tensorflow.compat.v1 as tf1
+
+    with tf1.Graph().as_default():
+        var_list = {}
+        for name, val in arrays.items():
+            var_list[name] = tf1.get_variable(
+                name, initializer=tf1.constant(val.astype(np.float32)))
+        saver = tf1.train.Saver(var_list=var_list)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            return saver.save(sess, str(tmp_path / sub) + "/model.ckpt")
+
+
+class TestStageGoldens:
+    """Whole-stage cross-goldens against the reference architecture built
+    from TF2 primitives (VERDICT round-2 item 4): one complete generator
+    growing stage (eq-lr conv -> leaky -> pixel-norm, nn-upsample, to_rgb
+    fade blend; /root/reference/nets/pggan.py:93-211) and one encoder
+    growing stage (from_rgb blocks, two-layer block, avg-pool, interp blend;
+    :382-479), with identical weights loaded through infer.import_tf —
+    the deepest fidelity proxy available without the pretrained checkpoint.
+    """
+
+    ALPHA = 0.3
+
+    # -- TF2 building blocks following reference pggan_utils exactly ------ #
+    @staticmethod
+    def _leaky(x):
+        return tf.maximum(0.2 * x, x)  # util_misc.fp16_friendly_leaky_relu
+
+    @staticmethod
+    def _pn(x):
+        # pggan_utils._pixel_norm (eps 1e-6)
+        return x / tf.sqrt(
+            tf.reduce_mean(tf.square(x), axis=3, keepdims=True) + 1e-6)
+
+    @staticmethod
+    def _eqconv(x, w, b, k, padding="SAME"):
+        # maybe_equalized_conv2d: input scaled by sqrt(2/(in_ch k^2)),
+        # then conv + bias (slim conv2d, normalizer None).
+        inv_c = np.sqrt(2.0 / (int(x.shape[-1]) * k * k)).astype(np.float32)
+        y = tf.nn.conv2d(x * inv_c, w, strides=1, padding=padding)
+        return y + b
+
+    @staticmethod
+    def _up2(x):
+        # pggan_utils.resize_twice_as_big (nearest neighbor)
+        h = int(x.shape[1])
+        return tf.image.resize(x, (2 * h, 2 * h), method="nearest")
+
+    def _rand_weights(self, spec, seed):
+        rng = np.random.RandomState(seed)
+        return {name: rng.randn(*shape).astype(np.float32) * 0.5
+                for name, shape in spec.items()}
+
+    def test_generator_growing_stage_matches_reference_arch(self, tmp_path):
+        """Noise path: [B,1,1,C] -> pad 7x7 -> k4 VALID; stage 8 with
+        fade-in blend of the upsampled previous to_rgb."""
+        from twingan_tpu.infer.import_tf import import_tf_checkpoint
+        from twingan_tpu.models.config import PGGANConfig
+        from twingan_tpu.models.pggan import Generator
+
+        C = 16
+        spec = {
+            "generator/block_4x4x16/Conv/weights": (4, 4, C, C),
+            "generator/block_4x4x16/Conv/biases": (C,),
+            "generator/block_4x4x16/Conv_1/weights": (3, 3, C, C),
+            "generator/block_4x4x16/Conv_1/biases": (C,),
+            "generator/generator_to_rgb_4x4/Conv/weights": (1, 1, C, 3),
+            "generator/generator_to_rgb_4x4/Conv/biases": (3,),
+            "generator/block_8x8x16/Conv/weights": (3, 3, C, C),
+            "generator/block_8x8x16/Conv/biases": (C,),
+            "generator/block_8x8x16/Conv_1/weights": (3, 3, C, C),
+            "generator/block_8x8x16/Conv_1/biases": (C,),
+            "generator/generator_to_rgb_8x8/Conv/weights": (1, 1, C, 3),
+            "generator/generator_to_rgb_8x8/Conv/biases": (3,),
+        }
+        W = self._rand_weights(spec, seed=3)
+        path = _save_tf1_ckpt(tmp_path, W, "gen")
+        noise = np.random.RandomState(0).randn(2, 1, 1, C).astype(np.float32)
+
+        # Reference generator, stage by stage (nets/pggan.py:144-206).
+        g = lambda n: W[f"generator/{n}/weights"]
+        b = lambda n: W[f"generator/{n}/biases"]
+        src = tf.pad(tf.constant(noise), [(0, 0), (3, 3), (3, 3), (0, 0)])
+        net = self._pn(self._leaky(self._eqconv(
+            src, g("block_4x4x16/Conv"), b("block_4x4x16/Conv"), 4, "VALID")))
+        net = self._pn(self._leaky(self._eqconv(
+            net, g("block_4x4x16/Conv_1"), b("block_4x4x16/Conv_1"), 3)))
+        prev = self._up2(self._eqconv(
+            net, g("generator_to_rgb_4x4/Conv"), b("generator_to_rgb_4x4/Conv"), 1))
+        up = self._up2(net)
+        y = self._pn(self._leaky(self._eqconv(
+            up, g("block_8x8x16/Conv"), b("block_8x8x16/Conv"), 3)))
+        y = self._pn(self._leaky(self._eqconv(
+            y, g("block_8x8x16/Conv_1"), b("block_8x8x16/Conv_1"), 3)))
+        rgb = self._eqconv(
+            y, g("generator_to_rgb_8x8/Conv"), b("generator_to_rgb_8x8/Conv"), 1)
+        ref = (rgb * self.ALPHA + (1 - self.ALPHA) * prev).numpy()
+
+        cfg = PGGANConfig(
+            resolution=8, is_growing=True, max_channels=C,
+            norm_type="none", equalized_lr=True, do_pixel_norm=True,
+        )  # noise_dim derives to channels(1) = C at max_channels=16
+        gen = Generator(cfg)
+        variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(noise))
+        import flax
+        state = {"params": {"generator": flax.core.unfreeze(variables["params"])},
+                 "model_state": {"generator": {}}}
+        imported, report = import_tf_checkpoint(path, state)
+        assert len(report["mapped"]) == len(spec), report
+        assert not report["missing_target"] and not report["shape_mismatch"], report
+        out, _ = gen.apply(
+            {"params": imported["params"]["generator"]},
+            jnp.asarray(noise), alpha=self.ALPHA)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_generator_code_path_4x4_matches_reference_arch(self, tmp_path):
+        """Translation path: a [B,4,4,C] encoding enters via k3 SAME
+        (nets/pggan.py:157-162), stabilized stage (no growing)."""
+        from twingan_tpu.infer.import_tf import import_tf_checkpoint
+        from twingan_tpu.models.config import PGGANConfig
+        from twingan_tpu.models.pggan import Generator
+
+        C = 16
+        spec = {
+            "generator/block_4x4x16/Conv/weights": (3, 3, C, C),
+            "generator/block_4x4x16/Conv/biases": (C,),
+            "generator/block_4x4x16/Conv_1/weights": (3, 3, C, C),
+            "generator/block_4x4x16/Conv_1/biases": (C,),
+            "generator/generator_to_rgb_4x4/Conv/weights": (1, 1, C, 3),
+            "generator/generator_to_rgb_4x4/Conv/biases": (3,),
+        }
+        W = self._rand_weights(spec, seed=4)
+        path = _save_tf1_ckpt(tmp_path, W, "gen44")
+        code = np.random.RandomState(1).randn(2, 4, 4, C).astype(np.float32)
+
+        g = lambda n: W[f"generator/{n}/weights"]
+        b = lambda n: W[f"generator/{n}/biases"]
+        net = self._pn(self._leaky(self._eqconv(
+            tf.constant(code), g("block_4x4x16/Conv"), b("block_4x4x16/Conv"), 3)))
+        net = self._pn(self._leaky(self._eqconv(
+            net, g("block_4x4x16/Conv_1"), b("block_4x4x16/Conv_1"), 3)))
+        ref = self._eqconv(
+            net, g("generator_to_rgb_4x4/Conv"), b("generator_to_rgb_4x4/Conv"), 1
+        ).numpy()
+
+        cfg = PGGANConfig(
+            resolution=4, max_channels=C,
+            norm_type="none", equalized_lr=True, do_pixel_norm=True,
+        )
+        gen = Generator(cfg)
+        variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(code))
+        import flax
+        state = {"params": {"generator": flax.core.unfreeze(variables["params"])},
+                 "model_state": {"generator": {}}}
+        imported, report = import_tf_checkpoint(path, state)
+        assert len(report["mapped"]) == len(spec), report
+        assert not report["missing_target"] and not report["shape_mismatch"], report
+        out, _ = gen.apply(
+            {"params": imported["params"]["generator"]}, jnp.asarray(code))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_encoder_growing_stage_matches_reference_arch(self, tmp_path):
+        """Encoder growing stage at 8px: avg-pooled from_rgb branch, full-res
+        from_rgb, two-layer block, avg-pool, interp blend
+        (nets/pggan.py:420-470)."""
+        from twingan_tpu.infer.import_tf import import_tf_checkpoint
+        from twingan_tpu.models.config import PGGANConfig
+        from twingan_tpu.models.pggan import Encoder
+
+        C = 16
+        spec = {
+            "encoder_content/from_rgb_4x4/Conv/weights": (1, 1, 3, C),
+            "encoder_content/from_rgb_4x4/Conv/biases": (C,),
+            "encoder_content/from_rgb_8x8/Conv/weights": (1, 1, 3, C),
+            "encoder_content/from_rgb_8x8/Conv/biases": (C,),
+            "encoder_content/encoder_block_8x8x16/Conv/weights": (3, 3, C, C),
+            "encoder_content/encoder_block_8x8x16/Conv/biases": (C,),
+            "encoder_content/encoder_block_8x8x16/Conv_1/weights": (3, 3, C, C),
+            "encoder_content/encoder_block_8x8x16/Conv_1/biases": (C,),
+        }
+        W = self._rand_weights(spec, seed=5)
+        path = _save_tf1_ckpt(tmp_path, W, "enc")
+        img = np.random.RandomState(2).rand(2, 8, 8, 3).astype(np.float32)
+
+        g = lambda n: W[f"encoder_content/{n}/weights"]
+        b = lambda n: W[f"encoder_content/{n}/biases"]
+        x = tf.constant(img)
+        shrunk = tf.nn.avg_pool2d(x, 2, 2, "VALID")
+        shrunk = self._pn(self._leaky(self._eqconv(
+            shrunk, g("from_rgb_4x4/Conv"), b("from_rgb_4x4/Conv"), 1)))
+        net = self._pn(self._leaky(self._eqconv(
+            x, g("from_rgb_8x8/Conv"), b("from_rgb_8x8/Conv"), 1)))
+        net = self._pn(self._leaky(self._eqconv(
+            net, g("encoder_block_8x8x16/Conv"), b("encoder_block_8x8x16/Conv"), 3)))
+        net = self._pn(self._leaky(self._eqconv(
+            net, g("encoder_block_8x8x16/Conv_1"), b("encoder_block_8x8x16/Conv_1"), 3)))
+        net = tf.nn.avg_pool2d(net, 2, 2, "VALID")
+        ref = (net * self.ALPHA + (1 - self.ALPHA) * shrunk).numpy()
+
+        cfg = PGGANConfig(
+            resolution=8, is_growing=True, max_channels=C,
+            norm_type="none", equalized_lr=True, do_pixel_norm=True,
+        )
+        enc = Encoder(cfg)
+        variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        import flax
+        state = {"params": {"encoder_content": flax.core.unfreeze(variables["params"])},
+                 "model_state": {"encoder_content": {}}}
+        imported, report = import_tf_checkpoint(path, state)
+        assert len(report["mapped"]) == len(spec), report
+        assert not report["missing_target"] and not report["shape_mismatch"], report
+        out, _ = enc.apply(
+            {"params": imported["params"]["encoder_content"]},
+            jnp.asarray(img), alpha=self.ALPHA)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+class TestFullCheckpointRoundTrip:
+    """VERDICT round-2 item 4b: importer round-trip over a FULL 256px
+    TwinGAN checkpoint with every feature on — self-attention, resblocks,
+    conditional (style) norms, batch renorm, spectral norm, UNet. Every
+    leaf of every reference-scoped network must export to a TF1 name,
+    map back to itself, and survive a strict import value-exactly."""
+
+    def _full_state(self):
+        from twingan_tpu.models.config import PGGANConfig
+        from twingan_tpu.train.optimizers import OptimizerConfig
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig, TwinGANTrainer
+
+        cfg = TwinGANConfig(
+            model=PGGANConfig(
+                resolution=256, max_channels=32, num_domains=2,
+                norm_type="batch_renorm", do_self_attention=True,
+                self_attention_hw=64, use_res_block=True,
+                spectral_norm=True, style_dim=8,
+            ),
+            use_style_embedding=True, style_embed_size=8, use_unet=True,
+            batch_size=2, opt=OptimizerConfig(learning_rate=1e-3),
+        )
+        trainer = TwinGANTrainer(cfg)
+        return trainer.init_state(jax.random.PRNGKey(0))
+
+    def test_roundtrip_256px_all_features(self, tmp_path):
+        from twingan_tpu.infer.import_tf import (
+            export_var_names, import_tf_checkpoint, map_var_name,
+        )
+        import flax.serialization
+
+        state = self._full_state()
+        names = export_var_names(state)
+        assert len(names) > 400, len(names)
+
+        # 1. Inverse consistency: every exported name maps back to its leaf.
+        for tf_name, (net, path, collection) in names.items():
+            assert map_var_name(tf_name) == (net, path, collection), tf_name
+
+        # 2. Completeness: every leaf of every reference-scoped net covered.
+        sd = flax.serialization.to_state_dict(state)
+        covered = {(net, path) for net, path, _ in names.values()}
+        missing = []
+        for net in ("encoder_content", "encoder_style", "generator",
+                    "discriminator_s", "discriminator_t"):
+            def walk(d, p=()):
+                for k, v in d.items():
+                    if isinstance(v, dict):
+                        walk(v, p + (k,))
+                    elif (net, p + (k,)) not in covered:
+                        missing.append((net, p + (k,)))
+            walk(sd["params"][net])
+            for coll, tree in sd["model_state"].get(net, {}).items():
+                walk(tree)
+        assert not missing, missing[:20]
+
+        # 3. Value-exact strict import of a full checkpoint.
+        rng = np.random.RandomState(0)
+        arrays = {}
+        for tf_name, (net, path, collection) in names.items():
+            root = sd["params" if collection is None else "model_state"][net]
+            if collection is not None:
+                root = root[collection]
+            leaf = root
+            for k in path:
+                leaf = leaf[k]
+            shape = np.shape(leaf)
+            val = np.asarray(rng.rand(*shape) + 0.25, np.float32)
+            if tf_name.endswith("/u"):
+                val = val.reshape(1, -1)  # TF keeps u as [1, out]
+            arrays[tf_name] = val
+        path_ckpt = _save_tf1_ckpt(tmp_path, arrays, "full256")
+        new_state, report = import_tf_checkpoint(path_ckpt, state, strict=True)
+        assert len(report["mapped"]) == len(names)
+
+        new_sd = flax.serialization.to_state_dict(new_state)
+        for tf_name, (net, path, collection) in names.items():
+            root = new_sd["params" if collection is None else "model_state"][net]
+            if collection is not None:
+                root = root[collection]
+            leaf = root
+            for k in path:
+                leaf = leaf[k]
+            np.testing.assert_array_equal(
+                np.asarray(leaf).reshape(-1), arrays[tf_name].reshape(-1),
+                err_msg=tf_name)
