@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--max_hw", type=int, default=64)
     p.add_argument("--images", type=int, default=24000,
                    help="images per growth stage")
+    p.add_argument("--images_top", type=int, default=0,
+                   help="images override for the max_hw stages (0 = same as "
+                   "--images; e.g. the reference's 300k at the headline "
+                   "resolution with a lighter budget below)")
     p.add_argument("--n", type=int, default=600, help="dataset size per domain")
     p.add_argument("--eval_n", type=int, default=128, help="held-out eval pairs")
     p.add_argument("--batch", type=int, default=8)
@@ -87,9 +91,26 @@ def main(argv=None):
                    choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--l_cyc", type=float, default=5.0)
+    p.add_argument("--batch_top", type=int, default=0,
+                   help="batch-size override for the max_hw stages only "
+                   "(0 = use --batch everywhere; reference hw_to_batch_size "
+                   "semantics, pggan_runner.py:52-56)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="per-pass gradient checkpointing in the G/D steps "
+                   "(frees top-resolution activation memory for the larger "
+                   "--batch_top; see docs/PERFORMANCE.md remat table)")
     p.add_argument("--self_attention_hw", type=int, default=0,
                    help="insert SAGAN self-attention at this resolution "
-                   "(0 = off; exercises ops/attention in real training)")
+                   "(0 = off; exercises ops/attention in real training — on "
+                   "TPU the Pallas flash kernel auto-selects at hw >= 64)")
+    p.add_argument("--spectral_norm", type=int, default=0,
+                   help="spectral norm on every conv/fc in G AND D (the "
+                   "reference's 512px stretch config, "
+                   "image_generation.py:65-67,120-124)")
+    p.add_argument("--checkpoint_path", default="",
+                   help="warm-start the FIRST stage from this checkpoint "
+                   "dir (growth-migrates; e.g. resume a 4->256 run's 256 "
+                   "stage into a 256->512 stretch run)")
     p.add_argument("--isolate_stages", type=int, default=1,
                    help="run each training stage in its own subprocess (the "
                    "axon TPU client leaks every host->device payload for "
@@ -151,6 +172,8 @@ def main(argv=None):
             num_domains=2, dtype="bfloat16",
             do_self_attention=args.self_attention_hw > 0,
             self_attention_hw=args.self_attention_hw or 64,
+            spectral_norm=bool(args.spectral_norm),
+            spectral_norm_in_non_discriminator=bool(args.spectral_norm),
         ),
         loss=GanLossConfig(architecture=args.loss),
         opt=OptimizerConfig(learning_rate=args.lr),
@@ -158,14 +181,20 @@ def main(argv=None):
         use_unet=True,
         l_cyc_weight=args.l_cyc,
         l_content_weight=0.1,
+        remat=bool(args.remat),
     )
+    batch_schedule = {r: args.batch for r in (4, 8, 16, 32, 64, 128, 256, 512)}
+    if args.batch_top:
+        batch_schedule[args.max_hw] = args.batch_top
     run_cfg = RunConfig(
         program="twingan",
         train_dir=os.path.join(args.work, "train"),
         start_hw=args.start_hw,
         max_hw=args.max_hw,
         num_images_per_resolution=args.images,
-        batch_schedule={r: args.batch for r in (4, 8, 16, 32, 64, 128, 256, 512)},
+        num_images_schedule=(
+            {args.max_hw: args.images_top} if args.images_top else None),
+        batch_schedule=batch_schedule,
         dataset_dir=os.path.join(dom, "rec_a"),
         target_dataset_dir=os.path.join(dom, "rec_b"),
         trainer=trainer_cfg,
@@ -176,6 +205,7 @@ def main(argv=None):
         rounds_per_scan=args.rounds_per_scan,
         num_devices=1,
         seed=args.seed,
+        checkpoint_path=args.checkpoint_path,
         max_stages_per_run=1 if args.isolate_stages else 0,
     )
     # Cumulative training wall-clock across isolated per-stage subprocesses;
@@ -250,8 +280,9 @@ def main(argv=None):
     trainer = TwinGANTrainer(tcfg)
     cm = CheckpointManager(os.path.join(run_cfg.train_dir, str(res)))
     state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)))
-    sources = load("a", args.n, args.n + 8, res)
-    truth = load("b", args.n, args.n + 8, res)
+    n_gal = min(8, args.eval_n)
+    sources = load("a", args.n, args.n + n_gal, res)
+    truth = load("b", args.n, args.n + n_gal, res)
     out = np.asarray(trainer.translate(state, jnp.asarray(sources), "s2t").astype(jnp.float32))
     grid = np.concatenate([
         np.concatenate(list(sources), axis=1),

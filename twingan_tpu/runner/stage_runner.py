@@ -83,6 +83,11 @@ class RunConfig:
     start_hw: int = 4
     max_hw: int = 64
     num_images_per_resolution: int = 300000
+    # Optional res -> images override (both stages of that resolution).
+    # The reference trains every stage on the same num_images_per_resolution
+    # (pggan_runner.py:44-47); this lets long runs spend the budget where it
+    # matters (e.g. 300k at the top resolution, less below).
+    num_images_schedule: Optional[dict] = None
     batch_schedule: Optional[dict] = None    # res -> batch size override
     # Dataset (source domain / single dataset).
     dataset_name: str = "image_only"
@@ -237,7 +242,10 @@ class StageRunner:
         return (sched.get(res) or sched[max(sched)]) * self.n_devices
 
     def steps_for_stage(self, res: int) -> int:
-        return max(1, self.cfg.num_images_per_resolution // self.batch_size(res))
+        images = self.cfg.num_images_per_resolution
+        if self.cfg.num_images_schedule:
+            images = self.cfg.num_images_schedule.get(res, images)
+        return max(1, images // self.batch_size(res))
 
     def _build_trainer(self, res: int, growing: bool, steps: int):
         batch = self.batch_size(res)

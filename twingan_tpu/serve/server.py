@@ -76,9 +76,9 @@ class TranslationService:
             ) / 255.0
             combined = np.concatenate([face_resized, translated], axis=1)
             name = f"{request_id}_{i}.png"
-            imsave_float(os.path.join(self.output_dir, name), combined)
+            imsave_float(os.path.join(self.output_dir, name), combined, fast=True)
             translated_name = f"{request_id}_{i}_translated.png"
-            imsave_float(os.path.join(self.output_dir, translated_name), translated)
+            imsave_float(os.path.join(self.output_dir, translated_name), translated, fast=True)
             outputs.append({"combined": f"/outputs/{name}",
                             "translated": f"/outputs/{translated_name}"})
         return {

@@ -22,14 +22,19 @@ def imread_rgb(path: str) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
-def imsave_float(path: str, img: np.ndarray) -> None:
-    """Save a float image in [0,1] (clipped) as 8-bit."""
+def imsave_float(path: str, img: np.ndarray, fast: bool = False) -> None:
+    """Save a float image in [0,1] (clipped) as 8-bit.
+
+    fast=True trades file size for encode latency (zlib level 1 instead of
+    PIL's default 6; ~3-4x faster on 256px RGB) — used on the serving hot
+    path where PNG encode is a measured per-request cost
+    (docs/PERFORMANCE.md serving section)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arr = np.asarray(img)
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
-    PILImage.fromarray(arr).save(path)
+    PILImage.fromarray(arr).save(path, compress_level=1 if fast else 6)
 
 
 def save_image_grid(path: str, images: np.ndarray, columns: int | None = None) -> None:
