@@ -8,7 +8,14 @@ prints the metrics as JSON for the parent to compare against the
 single-process run. Mirrors the reference's PS/worker multi-replica intent
 (/root/reference/model/model_inheritor.py:82-107) in SPMD form.
 
-Usage: multihost_worker.py <process_id> <num_processes> <port>
+Usage: multihost_worker.py <process_id> <num_processes> <port> [train_dir] [mode]
+
+mode "round" (default): one jitted TwinGAN round + a single-stage runner.
+mode "plan": a multi-stage progressive plan (4 -> 8_growing -> 8) through
+the production StageRunner — used by the mid-stage kill+resume test, the
+failure mode a real pod run hits (reference recovery semantics,
+pggan_runner.py:112-146: tf.Supervisor restores the latest checkpoint and
+continues the schedule).
 (JAX_* env vars are NOT used so the harness env can't interfere.)
 """
 
@@ -54,6 +61,40 @@ def build_round(global_batch: int, n_critic: int):
     return trainer, batches
 
 
+def run_plan(train_dir):
+    """Multi-stage progressive plan over the global mesh (kill+resume test).
+
+    Cadence is tuned so the parent can kill both processes strictly inside
+    the 8_growing stage: save every 2 steps, one round per scan + per-step
+    logging (host syncs) so stepping is slow relative to the parent's poll.
+    """
+    from twingan_tpu.models.config import PGGANConfig
+    from twingan_tpu.runner.stage_runner import RunConfig, StageRunner
+    from twingan_tpu.train.optimizers import OptimizerConfig
+    from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+    run_cfg = RunConfig(
+        program="twingan",
+        train_dir=train_dir,
+        start_hw=4, max_hw=8,
+        # per-device batch 2 x 4 global devices = global batch 8 -> 40 steps
+        # per stage.
+        num_images_per_resolution=320,
+        batch_schedule={4: 2, 8: 2},
+        use_synthetic_data=True,
+        trainer=TwinGANConfig(
+            model=PGGANConfig(resolution=4, max_channels=8, num_domains=2),
+            opt=OptimizerConfig(learning_rate=1e-3),
+        ),
+        log_every_n_steps=1, save_every_n_steps=2,
+        log_image_every_n_iter=0,
+        rounds_per_scan=1,
+        num_devices=jax.device_count(),
+    )
+    summary = StageRunner(run_cfg).run()
+    print("RUNNER " + json.dumps(summary), flush=True)
+
+
 def main():
     # Config mutations live HERE, not at module import time: the parent
     # test imports build_round from this module, and flipping the cpu
@@ -72,6 +113,9 @@ def main():
 
     mesh = create_mesh()  # all GLOBAL devices
     assert len(mesh.devices.ravel()) == n_proc * jax.local_device_count()
+    if len(sys.argv) > 5 and sys.argv[5] == "plan":
+        run_plan(sys.argv[4])
+        return
     trainer, batches = build_round(
         global_batch=2 * n_proc * jax.local_device_count(), n_critic=2
     )

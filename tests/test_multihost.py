@@ -23,30 +23,39 @@ import jax
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
 
 
-def _run_workers(n_proc: int, port: int, train_dir: str):
+def _spawn_workers(n_proc: int, port: int, train_dir: str, mode: str = "round"):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     # The worker forces the cpu platform itself; scrub harness JAX vars that
     # would fight the subprocess config.
     env.pop("JAX_NUM_CPU_DEVICES", None)
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(n_proc), str(port), train_dir],
+            [sys.executable, WORKER, str(pid), str(n_proc), str(port),
+             train_dir, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in range(n_proc)
     ]
+
+
+def _collect(procs, tags):
     results = []
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        res = {}
-        for tag in ("METRICS", "RUNNER"):
+        res = {"_stdout": out}
+        for tag in tags:
             line = [l for l in out.splitlines() if l.startswith(tag + " ")]
             assert line, f"no {tag} line:\n{out}\n{err}"
             res[tag] = json.loads(line[0][len(tag) + 1:])
         results.append(res)
     return results
+
+
+def _run_workers(n_proc: int, port: int, train_dir: str):
+    return _collect(_spawn_workers(n_proc, port, train_dir),
+                    tags=("METRICS", "RUNNER"))
 
 
 def _free_port() -> int:
@@ -86,3 +95,64 @@ def test_two_process_round_matches_single_process(tmp_path):
             a[k], float(v), rtol=1e-4, atol=1e-5,
             err_msg=f"{k}: multi-process vs single-process",
         )
+
+
+def test_two_process_mid_stage_kill_and_resume(tmp_path):
+    """SIGKILL both workers inside the 4to8 growing stage, relaunch, and the
+    progressive plan completes: stage 4 skip-if-complete, 4to8 resumed
+    from the orbax checkpoint mid-stage in BOTH processes, 8 warm-started
+    across the growth boundary (reference recovery semantics: tf.Supervisor
+    restore-and-continue, pggan_runner.py:112-146)."""
+    import re
+    import time
+
+    def _finalized(stage_dir):
+        # Only FINALIZED orbax checkpoints (`ckpt-<step>`); an in-flight
+        # write's tmp dir also starts with `ckpt-` and must not trigger the
+        # kill (CheckpointManager._STEP_RE semantics).
+        if not os.path.isdir(stage_dir):
+            return []
+        return [n for n in os.listdir(stage_dir)
+                if re.fullmatch(r"ckpt-\d+", n)]
+
+    train_dir = str(tmp_path / "mh_plan")
+    procs = _spawn_workers(2, _free_port(), train_dir, mode="plan")
+    try:
+        # Kill strictly mid-stage: after the first 4to8 (growing) checkpoint
+        # lands (step 2 of 40) and before the stage completes (~seconds of
+        # per-step host-synced stepping away).
+        gdir = os.path.join(train_dir, "4to8")
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            if _finalized(gdir):
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.005)
+        assert _finalized(gdir), (
+            "no mid-stage checkpoint appeared before the deadline/worker exit"
+        )
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()
+
+    assert _finalized(os.path.join(train_dir, "4")), (
+        "stage 4 should have completed before the kill")
+
+    # Relaunch on a fresh port with the same train_dir: must resume, not
+    # restart, and both processes must agree on the whole plan summary.
+    results = _collect(_spawn_workers(2, _free_port(), train_dir, mode="plan"),
+                       tags=("RUNNER",))
+    for r in results:
+        s = r["RUNNER"]
+        assert s["4"] == {"skipped": True, "step": 40}
+        assert s["4to8"]["steps"] == 40
+        assert s["8"]["steps"] == 40
+        assert "resumed at step" in r["_stdout"], (
+            "4to8 must restore the mid-stage checkpoint, not restart:\n"
+            + r["_stdout"]
+        )
+    assert results[0]["RUNNER"]["4to8"]["steps"] == \
+        results[1]["RUNNER"]["4to8"]["steps"]

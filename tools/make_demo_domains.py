@@ -8,6 +8,9 @@ image folders and TFRecord shards.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 from PIL import Image, ImageDraw
