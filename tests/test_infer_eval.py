@@ -393,3 +393,80 @@ class TestTFImportMapping:
             beta_marker,
         )
         assert len(report["mapped"]) == 2
+
+
+class TestTrainedFeatureFID:
+    """tools/train_fid_classifier.py + metrics.classifier_features_fn: FID
+    in a TRAINED feature space (closes the random-init InceptionV3 eval
+    weakness for the synthetic-domain quality runs)."""
+
+    @pytest.fixture(scope="class")
+    def fid_classifier_dir(self, tmp_path_factory):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import train_fid_classifier
+
+        out = str(tmp_path_factory.mktemp("fid_cls") / "clf")
+        # Tiny-but-real training run: enough steps that the feature-space
+        # ordering sanity gate inside the tool passes (it exits 1 otherwise).
+        train_fid_classifier.main([
+            "--out", out, "--hw", "16", "--n", "200", "--steps", "120",
+            "--batch", "32", "--platform", "",
+        ])
+        return out
+
+    def test_labels_cover_all_attributes(self):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from train_fid_classifier import NUM_LABELS, make_dataset
+
+        images, labels = make_dataset(50, 16, seed=3)
+        assert images.shape == (100, 16, 16, 3) and labels.shape == (100, NUM_LABELS)
+        # Every one-hot group sums to 1 per row; every attribute value occurs.
+        for lo, hi in ((0, 3), (3, 7), (7, 10), (10, 12)):
+            np.testing.assert_array_equal(labels[:, lo:hi].sum(1), 1.0)
+            assert (labels[:, lo:hi].sum(0) > 0).all()
+
+    def test_features_fn_and_fid_ordering(self, fid_classifier_dir):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from train_fid_classifier import make_dataset
+
+        from twingan_tpu.evals.metrics import classifier_features_fn, fid
+
+        feats = classifier_features_fn(fid_classifier_dir)
+        images, labels = make_dataset(60, 16, seed=11)
+        f = np.asarray(feats(jnp.asarray(images[:8])))
+        assert f.shape[0] == 8 and f.ndim == 2 and np.isfinite(f).all()
+        # Input at a different hw resizes to the classifier's training hw.
+        f32 = np.asarray(feats(jnp.asarray(np.zeros((2, 32, 32, 3), np.float32))))
+        assert f32.shape == (2, f.shape[1])
+
+        b = images[labels[:, 11] == 1.0]
+        a = images[labels[:, 10] == 1.0]
+        noise = np.random.RandomState(0).rand(32, 16, 16, 3).astype(np.float32)
+        close = fid(feats, [b[: len(b) // 2]], [b[len(b) // 2 :]])
+        cross = fid(feats, [b], [a])
+        far = fid(feats, [b], [noise])
+        # Same-distribution FID must sit far below EVERY cross-distribution
+        # FID; no ordering between cross and far (a discriminative feature
+        # space pushes the rival domain further out than OOD noise).
+        assert close * 3 < min(cross, far)
+
+    def test_run_eval_fid_mode_uses_classifier(self, fid_classifier_dir,
+                                               trained_stage, tmp_path):
+        from twingan_tpu.evals import run_eval
+
+        eval_dir = str(tmp_path / "eval")
+        run_eval.main([
+            "--mode=fid", f"--model_path={trained_stage}",
+            f"--classifier_path={fid_classifier_dir}",
+            f"--eval_dir={eval_dir}", "--num_images=8", "--batch_size=4",
+            "--use_synthetic_data",
+        ])
+        line = open(os.path.join(eval_dir, "fid.txt")).read()
+        assert "trained-classifier features" in line
+        assert np.isfinite(float(line.split("\t")[1]))

@@ -16,6 +16,36 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 
+def sample_params(rng: np.random.RandomState, hw: int) -> dict:
+    """One latent draw of the shared disc/ring geometry. The call order is
+    load-bearing: a given (seed, hw) must keep producing the same images."""
+    cx, cy = rng.randint(hw // 4, 3 * hw // 4, 2)
+    rad = rng.randint(hw // 8, hw // 3)
+    hue = rng.randint(0, 3)
+    return {"cx": int(cx), "cy": int(cy), "rad": int(rad), "hue": int(hue)}
+
+
+def draw_a(p: dict, hw: int) -> Image.Image:
+    """Domain A: filled colored disc on dark background."""
+    img = Image.new("RGB", (hw, hw), (20, 20, 30))
+    d = ImageDraw.Draw(img)
+    color = [(200, 60, 60), (60, 200, 60), (60, 60, 200)][p["hue"]]
+    d.ellipse([p["cx"] - p["rad"], p["cy"] - p["rad"],
+               p["cx"] + p["rad"], p["cy"] + p["rad"]], fill=color)
+    return img
+
+
+def draw_b(p: dict, hw: int) -> Image.Image:
+    """Domain B: ring outline on light background with a hue mapping."""
+    img = Image.new("RGB", (hw, hw), (235, 235, 225))
+    d = ImageDraw.Draw(img)
+    color_b = [(55, 195, 195), (195, 55, 195), (195, 195, 55)][p["hue"]]
+    d.ellipse([p["cx"] - p["rad"], p["cy"] - p["rad"],
+               p["cx"] + p["rad"], p["cy"] + p["rad"]],
+              outline=color_b, width=4)
+    return img
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/domains")
@@ -29,19 +59,9 @@ def main(argv=None):
         os.makedirs(f"{args.out}/{dom}", exist_ok=True)
     hw = args.hw
     for i in range(args.n):
-        cx, cy = rng.randint(hw // 4, 3 * hw // 4, 2)
-        rad = rng.randint(hw // 8, hw // 3)
-        hue = rng.randint(0, 3)
-        img = Image.new("RGB", (hw, hw), (20, 20, 30))
-        d = ImageDraw.Draw(img)
-        color = [(200, 60, 60), (60, 200, 60), (60, 60, 200)][hue]
-        d.ellipse([cx - rad, cy - rad, cx + rad, cy + rad], fill=color)
-        img.save(f"{args.out}/a/{i}.png")
-        img = Image.new("RGB", (hw, hw), (235, 235, 225))
-        d = ImageDraw.Draw(img)
-        color_b = [(55, 195, 195), (195, 55, 195), (195, 195, 55)][hue]
-        d.ellipse([cx - rad, cy - rad, cx + rad, cy + rad], outline=color_b, width=4)
-        img.save(f"{args.out}/b/{i}.png")
+        params = sample_params(rng, hw)
+        draw_a(params, hw).save(f"{args.out}/a/{i}.png")
+        draw_b(params, hw).save(f"{args.out}/b/{i}.png")
 
     from twingan_tpu.data.converters import convert_image_folder
 

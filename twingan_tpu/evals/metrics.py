@@ -222,6 +222,42 @@ def inception_pool_features_fn(
     return features
 
 
+def classifier_features_fn(
+    classifier_dir: str, layer: str = "PreLogits"
+) -> Callable[[jax.Array], jax.Array]:
+    """Images-[0,1] -> feature extractor from a TRAINED ClassifierTrainer
+    checkpoint dir (see tools/train_fid_classifier.py).
+
+    The absolute-FID weakness of ``inception_pool_features_fn`` (random
+    init, no pretrained weights fetchable offline) is closed for synthetic-
+    domain runs by training a small classifier on labels derived from the
+    domain generator's latent parameters (hue / quadrant / radius / domain)
+    and scoring FID in ITS feature space — features that demonstrably encode
+    the semantics the translation must preserve. Mirrors the reference's
+    own pattern of scoring with a task-trained tagger
+    (/root/reference/train_image_classifier.py docstring: the illust2vec
+    tagger feeding eval/distillation is itself trained in-repo)."""
+    from twingan_tpu.runner.classifier_runner import load_trained_classifier
+
+    trainer, state = load_trained_classifier(classifier_dir)
+    cls_hw = trainer.cfg.image_hw
+
+    @jax.jit
+    def features(images: jax.Array) -> jax.Array:
+        images = images.astype(jnp.float32)
+        if images.shape[1] != cls_hw:
+            images = ops.resize_bilinear(images, cls_hw, cls_hw)
+        _, eps_ = trainer.model.apply(
+            {"params": state.params, **state.model_state}, images, train=False
+        )
+        feat = eps_[layer]
+        if feat.ndim == 4:
+            feat = jnp.mean(feat, axis=(1, 2))
+        return feat.reshape(images.shape[0], -1)
+
+    return features
+
+
 def streaming_loss_eval(
     loss_fn: Callable[[Dict[str, jax.Array]], Dict[str, jax.Array]],
     batches: Iterable[Dict[str, np.ndarray]],

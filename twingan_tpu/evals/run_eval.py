@@ -65,8 +65,9 @@ def main(argv=None) -> None:
     p.add_argument("--model_path", required=True)
     p.add_argument("--classifier_path", default="",
                    help="trained ClassifierTrainer dir supplying real logits "
-                        "for --mode=inception_score (default: random-init "
-                        "InceptionV3, relative metric)")
+                        "for --mode=inception_score and real features for "
+                        "--mode=fid (default: random-init InceptionV3, "
+                        "relative metric); see tools/train_fid_classifier.py")
     p.add_argument("--eval_dir", default="/tmp/twingan_eval")
     p.add_argument("--dataset_name", default="image_only")
     p.add_argument("--dataset_dir", default="")
@@ -170,9 +171,20 @@ def main(argv=None) -> None:
         print(f"cycle fidelity MS-SSIM s vs s2t2s (higher = better): {fidelity:.4f}")
 
     elif args.mode == "fid":
-        from twingan_tpu.evals.metrics import fid, inception_pool_features_fn
+        from twingan_tpu.evals.metrics import (
+            classifier_features_fn,
+            fid,
+            inception_pool_features_fn,
+        )
 
-        feats = inception_pool_features_fn(image_hw=hw, seed=args.seed)
+        if args.classifier_path:
+            # Trained-feature FID (tools/train_fid_classifier.py):
+            # absolute-comparable within this feature space.
+            feats = classifier_features_fn(args.classifier_path)
+            kind = "trained-classifier features"
+        else:
+            feats = inception_pool_features_fn(image_hw=hw, seed=args.seed)
+            kind = "random-feature inception, relative metric"
         reals, fakes, n = [], [], 0
         for batch in batches:
             reals.append(np.asarray(batch["target"], np.float32))
@@ -183,8 +195,8 @@ def main(argv=None) -> None:
         score = fid(feats, reals, fakes)
         out = os.path.join(args.eval_dir, "fid.txt")
         with open(out, "w") as f:
-            f.write(f"fid\t{score:.6f}\t{n} images\n")
-        print(f"FID (random-feature inception, relative metric): {score:.4f} over {n} images")
+            f.write(f"fid\t{score:.6f}\t{n} images\t{kind}\n")
+        print(f"FID ({kind}): {score:.4f} over {n} images")
         print("written:", out)
 
     elif args.mode == "inception_score":
