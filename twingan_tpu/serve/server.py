@@ -41,18 +41,66 @@ STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
 MAX_UPLOAD_BYTES = 16 << 20
 
 
+class _AsyncImageWriter:
+    """Single background thread that drains PNG encode+write work off the
+    request critical path. On this one-core host the encode can't run in
+    parallel with other Python work, but deferring it means it fills the
+    idle gaps while request threads block on the TPU tunnel — and the
+    client gets its JSON before the ~35-180 ms/image encode instead of
+    after. Files land atomically (tmp + rename) so the GET-side file
+    polling (reference server.py:250-259) never serves a half-written PNG."""
+
+    def __init__(self):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, arr = item
+                # Keep the .png suffix so PIL can infer the encoder.
+                tmp = f"{path}.{threading.get_ident()}.tmp.png"
+                imsave_float(tmp, arr, fast=True)
+                os.replace(tmp, path)
+            except Exception as e:  # noqa: BLE001 — never kill the writer
+                print(f"async image write failed for {item and item[0]}: {e}")
+            finally:
+                self._q.task_done()
+
+    def submit(self, path: str, arr: np.ndarray) -> None:
+        self._q.put((path, arr))
+
+    def join(self) -> None:
+        """Block until every submitted image is on disk (tests, shutdown)."""
+        self._q.join()
+
+
 class TranslationService:
     """The request pipeline, shared by all handler threads."""
 
     def __init__(self, client, detector: FaceDetector, output_dir: str,
-                 waifu2x: Optional[Waifu2xClient] = None, max_faces: int = 4):
+                 waifu2x: Optional[Waifu2xClient] = None, max_faces: int = 4,
+                 defer_writes: bool = True):
         self.client = client
         self.detector = detector
         self.output_dir = output_dir
         self.waifu2x = waifu2x
         self.max_faces = max_faces
         self._lock = threading.Lock()
+        self.writer = _AsyncImageWriter() if defer_writes else None
         os.makedirs(output_dir, exist_ok=True)
+
+    def _save(self, path: str, arr: np.ndarray) -> None:
+        if self.writer is not None:
+            self.writer.submit(path, arr)
+        else:
+            imsave_float(path, arr, fast=True)
 
     def handle_image(self, image: np.ndarray) -> dict:
         t0 = time.time()
@@ -76,9 +124,9 @@ class TranslationService:
             ) / 255.0
             combined = np.concatenate([face_resized, translated], axis=1)
             name = f"{request_id}_{i}.png"
-            imsave_float(os.path.join(self.output_dir, name), combined, fast=True)
+            self._save(os.path.join(self.output_dir, name), combined)
             translated_name = f"{request_id}_{i}_translated.png"
-            imsave_float(os.path.join(self.output_dir, translated_name), translated, fast=True)
+            self._save(os.path.join(self.output_dir, translated_name), translated)
             outputs.append({"combined": f"/outputs/{name}",
                             "translated": f"/outputs/{translated_name}"})
         return {
@@ -131,8 +179,17 @@ def make_handler(service: TranslationService):
                 # Webcam capture page (reference index_webcam.html).
                 self._file(os.path.join(STATIC_DIR, "index_webcam.html"), "text/html")
             elif path.startswith("/outputs/"):
+                # Output PNGs are written asynchronously after the POST's
+                # JSON answer; poll briefly for late files exactly like the
+                # reference frontend/server pair (server.py:250-259 polls
+                # the generated file before answering).
                 name = os.path.basename(path)
-                self._file(os.path.join(service.output_dir, name), "image/png")
+                full = os.path.join(service.output_dir, name)
+                deadline = time.time() + 3.0
+                while (service.writer is not None and not os.path.exists(full)
+                       and time.time() < deadline):
+                    time.sleep(0.02)
+                self._file(full, "image/png")
             elif path == "/healthz":
                 self._json(200, {"status": "ok"})
             else:
@@ -201,7 +258,9 @@ def build_service(args) -> TranslationService:
             if args.serve_batch > 1 else local
     waifu2x = Waifu2xClient(args.waifu2x_url) if args.waifu2x_url else None
     detector = FaceDetector(max_faces=args.max_faces)
-    return TranslationService(client, detector, args.output_dir, waifu2x, args.max_faces)
+    return TranslationService(client, detector, args.output_dir, waifu2x,
+                              args.max_faces,
+                              defer_writes=not getattr(args, "sync_writes", False))
 
 
 def main(argv=None):
@@ -217,6 +276,10 @@ def main(argv=None):
     p.add_argument("--max_faces", type=int, default=4)
     p.add_argument("--serve_batch", type=int, default=8,
                    help="coalesce concurrent requests into one TPU batch (1 disables)")
+    p.add_argument("--sync_writes", action="store_true",
+                   help="write output PNGs on the request thread before "
+                        "answering (default: deferred to a writer thread; "
+                        "the GET side polls for late files)")
     p.add_argument("--debug", action="store_true", help="mock model (no checkpoint needed)")
     args = p.parse_args(argv)
     if not args.debug and not args.serving_url and not args.model_path:
