@@ -46,6 +46,36 @@ class TestFaceDetection:
         # The environment ships opencv cascades; the serving path depends on it.
         assert FaceDetector().available
 
+    def test_pooled_detector_matches_inprocess(self):
+        from twingan_tpu.serve.face_detection import PooledFaceDetector
+
+        demo = "/root/reference/demo/inference_input/cropped"
+        if os.path.isdir(demo) and os.listdir(demo):
+            path = os.path.join(demo, sorted(os.listdir(demo))[0])
+            img = np.asarray(PILImage.open(path).convert("RGB"))
+        else:  # fallback: no faces found is still a valid equality check
+            img = (np.random.RandomState(0).rand(96, 96, 3) * 255).astype(np.uint8)
+        ref = FaceDetector()
+        pooled = PooledFaceDetector(num_procs=2)
+        try:
+            assert pooled.raw_boxes(img) == ref.raw_boxes(img)
+            assert [b.shape for b in pooled.crop_faces(img)] == [
+                b.shape for b in ref.crop_faces(img)
+            ]
+            # Concurrent requests from server threads must not interleave
+            # results (each Pool.apply is isolated).
+            results = [None] * 4
+            def worker(i):
+                results[i] = pooled.raw_boxes(img)
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert all(r == results[0] for r in results)
+        finally:
+            pooled.close()
+
 
 @pytest.fixture()
 def server(tmp_path):

@@ -123,3 +123,61 @@ class FaceDetector:
             h, w = image.shape[:2]
             boxes = [square_crop((0, 0, w, h), w, h)]
         return [image[y0:y1, x0:x1] for (x0, y0, x1, y1) in boxes]
+
+    def close(self) -> None:
+        """Release detector resources (no-op for the in-process detector)."""
+
+
+# ---------------------------------------------------------------------- #
+# Process-pool detection: the Haar sliding-window evaluation is the
+# host-side serving bottleneck (~116 ms/image, numpy, one core). The
+# reference's SSD ran inside TF's own thread pool; here concurrent HTTP
+# requests otherwise serialize on the GIL-bound cascade. The pool runs
+# only the raw_boxes() sweep in worker processes — expansion, square-crop,
+# and drawing stay in FaceDetector methods, so tuning remains in one place.
+# ---------------------------------------------------------------------- #
+_POOL_DETECTOR: Optional[FaceDetector] = None
+
+
+def _pool_init(cascade_path: Optional[str]) -> None:
+    global _POOL_DETECTOR
+    _POOL_DETECTOR = FaceDetector(cascade_path)
+
+
+def _pool_raw_boxes(image: np.ndarray) -> list[tuple[int, int, int, int]]:
+    assert _POOL_DETECTOR is not None
+    return _POOL_DETECTOR.raw_boxes(image)
+
+
+class PooledFaceDetector(FaceDetector):
+    """FaceDetector whose cascade sweep runs in a process pool.
+
+    Concurrent requests (ThreadingHTTPServer threads) each block in
+    ``Pool.apply``, so up to ``num_procs`` detections proceed in parallel
+    on separate cores. Workers use the ``spawn`` context: they re-import
+    only numpy + the haar module (the package __init__ is import-light by
+    design), never the parent's JAX/TPU state."""
+
+    def __init__(self, num_procs: int = 2,
+                 cascade_path: Optional[str] = None, max_faces: int = 4):
+        super().__init__(cascade_path, max_faces)
+        import multiprocessing as mp
+
+        self._pool = None
+        if self.available and num_procs > 0:
+            self._pool = mp.get_context("spawn").Pool(
+                num_procs, initializer=_pool_init, initargs=(cascade_path,)
+            )
+
+    def raw_boxes(self, image: np.ndarray) -> list[tuple[int, int, int, int]]:
+        if self._pool is None:
+            return super().raw_boxes(image)
+        return self._pool.apply(
+            _pool_raw_boxes, (np.ascontiguousarray(image),)
+        )
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None

@@ -257,7 +257,13 @@ def build_service(args) -> TranslationService:
         client = BatchingLocalClient(local.inferer, max_batch=args.serve_batch) \
             if args.serve_batch > 1 else local
     waifu2x = Waifu2xClient(args.waifu2x_url) if args.waifu2x_url else None
-    detector = FaceDetector(max_faces=args.max_faces)
+    procs = getattr(args, "detector_procs", 0)
+    if procs > 0:
+        from twingan_tpu.serve.face_detection import PooledFaceDetector
+
+        detector = PooledFaceDetector(num_procs=procs, max_faces=args.max_faces)
+    else:
+        detector = FaceDetector(max_faces=args.max_faces)
     return TranslationService(client, detector, args.output_dir, waifu2x,
                               args.max_faces,
                               defer_writes=not getattr(args, "sync_writes", False))
@@ -276,6 +282,10 @@ def main(argv=None):
     p.add_argument("--max_faces", type=int, default=4)
     p.add_argument("--serve_batch", type=int, default=8,
                    help="coalesce concurrent requests into one TPU batch (1 disables)")
+    p.add_argument("--detector_procs", type=int, default=0,
+                   help="run Haar detection in N worker processes so "
+                        "concurrent requests detect on separate cores "
+                        "(0 = in the request thread)")
     p.add_argument("--sync_writes", action="store_true",
                    help="write output PNGs on the request thread before "
                         "answering (default: deferred to a writer thread; "
