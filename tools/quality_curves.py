@@ -107,6 +107,11 @@ def main(argv=None):
                    help="spectral norm on every conv/fc in G AND D (the "
                    "reference's 512px stretch config, "
                    "image_generation.py:65-67,120-124)")
+    p.add_argument("--fid_classifier", default="",
+                   help="ClassifierTrainer checkpoint dir (see tools/"
+                   "train_fid_classifier.py): score FID/IS in a TRAINED "
+                   "feature space instead of the random-feature InceptionV3 "
+                   "(closes the relative-FID caveat for synthetic domains)")
     p.add_argument("--checkpoint_path", default="",
                    help="warm-start the FIRST stage from this checkpoint "
                    "dir (growth-migrates; e.g. resume a 4->256 run's 256 "
@@ -115,6 +120,11 @@ def main(argv=None):
                    help="run each training stage in its own subprocess (the "
                    "axon TPU client leaks every host->device payload for "
                    "process lifetime; per-stage re-exec bounds host RSS)")
+    p.add_argument("--max_transfer_gb", type=float, default=0,
+                   help="mid-stage re-exec after staging this many GB of "
+                   "batches in one process (requires --isolate_stages; a "
+                   "300k-image 256px stage stages ~235 GB — far past host "
+                   "RAM under the axon per-payload leak)")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
@@ -207,6 +217,7 @@ def main(argv=None):
         seed=args.seed,
         checkpoint_path=args.checkpoint_path,
         max_stages_per_run=1 if args.isolate_stages else 0,
+        max_transfer_gb_per_run=args.max_transfer_gb if args.isolate_stages else 0,
     )
     # Cumulative training wall-clock across isolated per-stage subprocesses;
     # a FRESH run (no train dir yet) must not inherit a previous run's total.
@@ -228,7 +239,12 @@ def main(argv=None):
     print("training complete:", json.dumps(summary))
 
     # ---------------- metric-vs-step curves over every checkpoint ---------
-    feats = inception_pool_features_fn(image_hw=max(args.max_hw, 75), seed=0)
+    if args.fid_classifier:
+        from twingan_tpu.evals.metrics import classifier_features_fn
+
+        feats = classifier_features_fn(args.fid_classifier)
+    else:
+        feats = inception_pool_features_fn(image_hw=max(args.max_hw, 75), seed=0)
     rows = []
     for res, growing in stage_plan(args.start_hw, args.max_hw):
         stage = stage_dir_name(res, growing)

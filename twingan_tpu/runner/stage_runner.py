@@ -163,6 +163,13 @@ class RunConfig:
     # lifetime, ~transfer-size leaked per put); run() returns a summary with
     # "_incomplete": True when stages remain.
     max_stages_per_run: int = 0
+    # Mid-stage host-leak bound (0 = off): after staging this many GB of
+    # batch payloads in one process, checkpoint and return with
+    # "_incomplete": True so the driving wrapper can re-exec and resume the
+    # SAME stage. Per-stage isolation alone is not enough at the top
+    # resolutions: a 300k-image 256px stage stages ~235 GB of uint8 batches,
+    # far past host RAM once the axon client pins every payload.
+    max_transfer_gb_per_run: float = 0.0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -366,6 +373,11 @@ class StageRunner:
                 return summary
             info = self._run_stage(res, growing, steps, stage_dir, prev_stage_dir, cm)
             summary[stage_dir_name(res, growing)] = info
+            if info.get("partial"):
+                # Mid-stage host-leak pause: the wrapper re-execs and the
+                # stage resumes from the checkpoint just written.
+                summary["_incomplete"] = True
+                return summary
             prev_stage_dir = stage_dir
             executed += 1
         return summary
@@ -437,6 +449,10 @@ class StageRunner:
         # (reference fixed-source dumps, twingan.py:581-680).
         fixed_batch: Dict[str, np.ndarray] = {}
 
+        # Host->device payload bytes staged by THIS process (the axon client
+        # pins each payload for process lifetime; see max_transfer_gb_per_run).
+        staged = {"bytes": 0}
+
         def next_batches():
             nonlocal aug_key
             batches = []
@@ -446,9 +462,11 @@ class StageRunner:
                 for key in ("source", "target"):
                     if key in raw:
                         aug_key, sub = jax.random.split(aug_key)
+                        staged["bytes"] += np.asarray(raw[key]).nbytes
                         batch[key] = augment_batch(sub, put(raw[key]), pp)
                 for key in ("source_embedding", "target_embedding", "conditional_labels"):
                     if key in raw:
+                        staged["bytes"] += np.asarray(raw[key]).nbytes
                         batch[key] = put(raw[key])
                 batches.append(batch)
             # (multi-host: shards are not host-fetchable; grids are a
@@ -484,6 +502,7 @@ class StageRunner:
                     [np.stack([np.asarray(raw[r][c][k]) for c in range(n_critic)])
                      for r in range(n_rounds)]
                 )  # [R, n_critic, B, ...]
+                staged["bytes"] += arr.nbytes
                 if spec is not None:
                     from twingan_tpu.parallel.multihost import make_global_array
 
@@ -524,6 +543,7 @@ class StageRunner:
         profiled = False
         profiling_active = False
         cadence_idx: dict = {}  # per-cadence last-fired index (see due())
+        paused = False
         try:
             step = start_step
             while step < steps:
@@ -617,6 +637,16 @@ class StageRunner:
                     writer.histograms(
                         cur, {k: jax.device_get(v) for k, v in flat.items()}
                     )
+                if (
+                    cfg.max_transfer_gb_per_run
+                    and staged["bytes"] >= cfg.max_transfer_gb_per_run * 1e9
+                    and cur < steps
+                ):
+                    paused = True
+                    print(f"[stage {tag}] pausing at step {cur} after staging "
+                          f"{staged['bytes'] / 1e9:.1f} GB (host-leak bound); "
+                          f"re-exec to resume")
+                    break
             self._save(cm, int(state.step), state)
             self._barrier(f"stage_end_{tag}")
         finally:
@@ -629,11 +659,14 @@ class StageRunner:
             writer.close()
         wall = time.time() - t_start
         done = int(state.step) - start_step
-        return {
+        info = {
             "steps": int(state.step),
             "wall_time_sec": round(wall, 1),
             "rounds_per_sec": round(done / max(wall, 1e-9), 3),
         }
+        if paused:
+            info["partial"] = True
+        return info
 
     # ------------------------------------------------------------------ #
     def _display(self, x) -> np.ndarray:
