@@ -42,10 +42,11 @@ def run_config(args, serve_batch: int, bodies: list) -> dict:
     from twingan_tpu.serve.server import build_service, make_handler
 
     service = build_service(argparse.Namespace(
-        debug=False, serving_url="", model_path=args.model_path,
+        debug=args.debug, serving_url="", model_path=args.model_path,
         image_hw=args.image_hw, direction="s2t",
         output_dir=os.path.join(args.work, f"out_b{serve_batch}"),
         waifu2x_url="", max_faces=4, serve_batch=serve_batch,
+        detector_procs=args.detector_procs,
     ))
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = server.server_address[1]
@@ -75,12 +76,18 @@ def run_config(args, serve_batch: int, bodies: list) -> dict:
         server.shutdown()
         if hasattr(service.client, "close"):
             service.client.close()
+        service.detector.close()
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_path", required=True,
+    p.add_argument("--model_path", default="",
                    help="trained TwinGAN stage dir (config.json + ckpt)")
+    p.add_argument("--debug", action="store_true",
+                   help="mock client (no checkpoint/TPU): measures the host "
+                        "pipeline (decode -> detect -> encode) in isolation")
+    p.add_argument("--detector_procs", type=int, default=0,
+                   help="Haar detection worker processes (0 = request thread)")
     p.add_argument("--images_dir",
                    default="/root/reference/demo/inference_input/cropped")
     p.add_argument("--image_hw", type=int, default=0)
@@ -88,6 +95,8 @@ def main(argv=None):
     p.add_argument("--concurrency", type=int, default=16)
     p.add_argument("--work", default="/tmp/serve_bench")
     args = p.parse_args(argv)
+    if not args.debug and not args.model_path:
+        p.error("--model_path required (or --debug for the host pipeline)")
 
     bodies = []
     for name in sorted(os.listdir(args.images_dir)):
