@@ -802,3 +802,92 @@ class TestConverterFilters:
         spec = get_dataset("image_only", image_key="custom/image")
         item = spec.parse(TFRecordReader(path)[0])
         assert item["source"].shape == (8, 8, 3)
+
+
+class TestDeviceResident:
+    """Device-resident dataset path (DeviceResidentSampler): batches become
+    on-device gathers from HBM-resident arrays; the sample sequence must be
+    bit-equal to the streaming TFRecordSource path (same seed)."""
+
+    def _records(self, tmp_path, name, n=10, hw=12, seed=0):
+        from twingan_tpu.data.converters import convert_image_folder
+
+        d = tmp_path / name
+        d.mkdir()
+        rng = np.random.RandomState(seed)
+        for i in range(n):
+            PILImage.fromarray(
+                (rng.rand(hw, hw, 3) * 255).astype(np.uint8)
+            ).save(d / f"{i}.png")
+        rec = str(tmp_path / f"rec_{name}")
+        assert convert_image_folder(str(d), rec, split="train", num_shards=1) == n
+        return rec
+
+    def test_materialize_returns_full_arrays(self, tmp_path):
+        from twingan_tpu.data.pipeline import TFRecordSource
+        from twingan_tpu.data.tfrecord import list_shards
+
+        rec = self._records(tmp_path, "a")
+        spec = get_dataset("image_only", use_target=False)
+        pp = PreprocessConfig(output_hw=8, resize_mode="PAD", is_training=True)
+        src = TFRecordSource(spec, list_shards(rec, "train"), pp, 4, seed=7,
+                             yield_uint8=True)
+        arrays = src.materialize()
+        assert arrays is not None
+        assert arrays["source"].shape == (10, 8, 8, 3)
+        assert arrays["source"].dtype == np.uint8
+        # Over-budget -> refuses (fall back to streaming).
+        src2 = TFRecordSource(spec, list_shards(rec, "train"), pp, 4, seed=7,
+                              yield_uint8=True)
+        assert src2.materialize(max_bytes=100) is None
+        # RANDOM host resize -> refuses (content must differ per epoch).
+        pp_r = PreprocessConfig(output_hw=8, resize_mode="RANDOM_CROP",
+                                is_training=True)
+        src3 = TFRecordSource(spec, list_shards(rec, "train"), pp_r, 4, seed=7,
+                              yield_uint8=True)
+        assert src3.materialize() is None
+
+    def test_sampler_bit_matches_streaming(self, tmp_path):
+        from twingan_tpu.data.pipeline import (
+            DeviceResidentSampler, TFRecordSource,
+        )
+        from twingan_tpu.data.tfrecord import list_shards
+
+        rec = self._records(tmp_path, "b")
+        spec = get_dataset("image_only", use_target=False)
+        pp = PreprocessConfig(output_hw=8, resize_mode="PAD", is_training=True)
+        stream = TFRecordSource(spec, list_shards(rec, "train"), pp, 4,
+                                seed=7, yield_uint8=True)
+        it = iter(stream)
+        # 7 batches crosses epoch boundaries (10 records / batch 4 = 2
+        # batches per epoch with drop_remainder).
+        want = np.stack([next(it)["source"] for _ in range(7)])
+        mat = TFRecordSource(spec, list_shards(rec, "train"), pp, 4, seed=7,
+                             yield_uint8=True)
+        arrays = mat.materialize()
+        sampler = DeviceResidentSampler(
+            [(arrays, {"source": "source"}, 7)], batch_size=4
+        )
+        got = np.asarray(sampler.sample_chunk(7, 1)["source"])[:, 0]
+        np.testing.assert_array_equal(want, got)
+        # Only int32 indices crossed the host boundary per chunk.
+        assert sampler.last_index_bytes == 7 * 4 * 4
+
+    def test_sampler_epochs_are_permutations(self):
+        from twingan_tpu.data.pipeline import DeviceResidentSampler
+
+        arrays = {"x": np.arange(12, dtype=np.int32)}
+        s = DeviceResidentSampler([(arrays, {"target": "x"}, 3)], batch_size=4)
+        # 6 batches of 4 = exactly 2 epochs of n=12.
+        vals = np.asarray(s.sample_chunk(6, 1)["target"]).reshape(2, 12)
+        for epoch in vals:
+            assert sorted(epoch.tolist()) == list(range(12))
+        # Different epochs use different permutations (overwhelmingly).
+        assert not np.array_equal(vals[0], vals[1])
+
+    def test_sampler_rejects_too_small_domain(self):
+        from twingan_tpu.data.pipeline import DeviceResidentSampler
+
+        arrays = {"x": np.arange(3, dtype=np.int32)}
+        with pytest.raises(ValueError, match="drop_remainder"):
+            DeviceResidentSampler([(arrays, {"target": "x"}, 0)], batch_size=4)

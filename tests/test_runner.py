@@ -787,3 +787,110 @@ class TestInTrainingEvalAndCustomSources:
         # n_per_hw=2 of the 3 npy images, resized 8->4: a 2-image mosaic.
         w, h = PILImage.open(os.path.join(samples_dir, ph[0])).size
         assert (w, h) in {(8, 4), (4, 8)}, (w, h)
+
+
+class TestDeviceResidentRunner:
+    def _paired_records(self, tmp_path, n=8, hw=16):
+        from PIL import Image as PILImage
+
+        from twingan_tpu.data.converters import convert_image_folder
+
+        recs = []
+        for name, seed in (("a", 0), ("b", 1)):
+            d = tmp_path / name
+            d.mkdir()
+            rng = np.random.RandomState(seed)
+            for i in range(n):
+                PILImage.fromarray(
+                    (rng.rand(hw, hw, 3) * 255).astype(np.uint8)
+                ).save(d / f"{i}.png")
+            rec = str(tmp_path / f"rec_{name}")
+            assert convert_image_folder(str(d), rec, split="train",
+                                        num_shards=1) == n
+            recs.append(rec)
+        return recs
+
+    def _cfg(self, tmp_path, train_dir, rec_a, rec_b, resident_gb):
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        return RunConfig(
+            program="twingan",
+            train_dir=str(tmp_path / train_dir),
+            start_hw=8, max_hw=8,
+            num_images_per_resolution=20,  # 5 rounds at batch 4
+            batch_schedule={8: 4},
+            use_synthetic_data=False,
+            dataset_dir=rec_a,
+            target_dataset_dir=rec_b,
+            trainer=TwinGANConfig(
+                model=PGGANConfig(resolution=8, max_channels=16,
+                                  norm_type="instance_norm", num_domains=2),
+                batch_size=4,
+                opt=OptimizerConfig(learning_rate=1e-3),
+            ),
+            log_every_n_steps=1, log_image_every_n_iter=0,
+            save_every_n_steps=100,
+            # 2 scan chunks of 2 + 1 tail round: exercises BOTH the
+            # sample_chunk and the sample_batches resident paths.
+            rounds_per_scan=2,
+            num_devices=1,
+            device_resident_gb=resident_gb,
+        )
+
+    def test_resident_run_bit_matches_streaming(self, tmp_path, capsys):
+        """device_resident_gb=ON draws the same shuffled-epoch sample
+        sequence and augmentation stream as host streaming, so a full
+        StageRunner stage produces IDENTICAL parameters either way — the
+        resident path changes where batches come from, not the math."""
+        rec_a, rec_b = self._paired_records(tmp_path)
+        s_stream = StageRunner(
+            self._cfg(tmp_path, "run_stream", rec_a, rec_b, 0.0)).run()
+        out0 = capsys.readouterr().out
+        assert "device-resident" not in out0
+        s_res = StageRunner(
+            self._cfg(tmp_path, "run_res", rec_a, rec_b, 4.0)).run()
+        out1 = capsys.readouterr().out
+        assert "device-resident" in out1
+        assert s_stream["8"]["steps"] == 5 and s_res["8"]["steps"] == 5
+
+        t_cfg = self._cfg(tmp_path, "t", rec_a, rec_b, 0.0)
+        from twingan_tpu.train.twingan_trainer import TwinGANTrainer
+
+        trainer = TwinGANTrainer(t_cfg.trainer.replace(
+            model=t_cfg.trainer.model.replace(resolution=8), max_steps=5))
+        template = trainer.init_state(jax.random.PRNGKey(0))
+        a = CheckpointManager(str(tmp_path / "run_stream" / "8")).restore(template)
+        b = CheckpointManager(str(tmp_path / "run_res" / "8")).restore(template)
+        la = jax.tree_util.tree_leaves(a.params)
+        lb = jax.tree_util.tree_leaves(b.params)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_resident_on_mesh_bit_matches_streaming_on_mesh(self, tmp_path):
+        """Device-resident sampling on a 2-device mesh: the dataset is
+        replicated, the gather's out_shardings shards the batch dim over
+        'data', and a trained stage is BIT-IDENTICAL to the host-streaming
+        run on the same mesh (mesh-vs-single-device already carries its own
+        ~1e-5 all-reduce reassociation and is covered by
+        test_mesh_run_matches_single_device; the resident path must add
+        zero difference on top)."""
+        rec_a, rec_b = self._paired_records(tmp_path)
+        runs = {}
+        for name, resident_gb in (("stream", 0.0), ("res", 4.0)):
+            cfg = self._cfg(tmp_path, f"m_{name}", rec_a, rec_b, resident_gb)
+            cfg = cfg.replace(num_devices=2, batch_schedule={8: 2})
+            StageRunner(cfg).run()
+            from twingan_tpu.train.twingan_trainer import TwinGANTrainer
+
+            t = TwinGANTrainer(cfg.trainer.replace(
+                model=cfg.trainer.model.replace(resolution=8),
+                batch_size=4, max_steps=5))
+            runs[name] = CheckpointManager(
+                os.path.join(cfg.train_dir, "8")
+            ).restore(t.init_state(jax.random.PRNGKey(0)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(runs["stream"].params),
+            jax.tree_util.tree_leaves(runs["res"].params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

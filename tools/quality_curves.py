@@ -125,10 +125,20 @@ def main(argv=None):
                    "batches in one process (requires --isolate_stages; a "
                    "300k-image 256px stage stages ~235 GB — far past host "
                    "RAM under the axon per-payload leak)")
+    p.add_argument("--device_resident_gb", type=float, default=4.0,
+                   help="upload datasets under this many GB to HBM once and "
+                   "draw batches as on-device gathers (steady-state "
+                   "training transfers only int32 indices — the per-round "
+                   "image transfer through the ~50 MB/s axon tunnel is the "
+                   "256px+ end-to-end bottleneck). 0 = host streaming")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: evaluate whatever checkpoints exist "
+                   "under --work and write curves + gallery (salvages "
+                   "partial/interrupted runs)")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
-    if args.isolate_stages and not args._worker:
+    if args.isolate_stages and not args._worker and not args.eval_only:
         import subprocess
 
         base = list(argv if argv is not None else sys.argv[1:])
@@ -218,25 +228,33 @@ def main(argv=None):
         checkpoint_path=args.checkpoint_path,
         max_stages_per_run=1 if args.isolate_stages else 0,
         max_transfer_gb_per_run=args.max_transfer_gb if args.isolate_stages else 0,
+        device_resident_gb=args.device_resident_gb,
     )
     # Cumulative training wall-clock across isolated per-stage subprocesses;
     # a FRESH run (no train dir yet) must not inherit a previous run's total.
     wall_path = os.path.join(args.work, "train_wall.json")
-    if not os.path.isdir(run_cfg.train_dir) and os.path.exists(wall_path):
-        os.remove(wall_path)
-    runner = StageRunner(run_cfg)
-    summary = runner.run()
-    prior = 0.0
-    if os.path.exists(wall_path):
-        with open(wall_path) as f:
-            prior = json.load(f)["train_wall_sec"]
-    train_wall = prior + (time.time() - t_wall)
-    with open(wall_path, "w") as f:
-        json.dump({"train_wall_sec": train_wall}, f)
-    if summary.pop("_incomplete", False):
-        print("stage complete, more remain:", json.dumps(summary))
-        raise SystemExit(3)
-    print("training complete:", json.dumps(summary))
+    if args.eval_only:
+        summary = {}
+        train_wall = 0.0
+        if os.path.exists(wall_path):
+            with open(wall_path) as f:
+                train_wall = json.load(f)["train_wall_sec"]
+    else:
+        if not os.path.isdir(run_cfg.train_dir) and os.path.exists(wall_path):
+            os.remove(wall_path)
+        runner = StageRunner(run_cfg)
+        summary = runner.run()
+        prior = 0.0
+        if os.path.exists(wall_path):
+            with open(wall_path) as f:
+                prior = json.load(f)["train_wall_sec"]
+        train_wall = prior + (time.time() - t_wall)
+        with open(wall_path, "w") as f:
+            json.dump({"train_wall_sec": train_wall}, f)
+        if summary.pop("_incomplete", False):
+            print("stage complete, more remain:", json.dumps(summary))
+            raise SystemExit(3)
+        print("training complete:", json.dumps(summary))
 
     # ---------------- metric-vs-step curves over every checkpoint ---------
     if args.fid_classifier:
@@ -290,11 +308,22 @@ def main(argv=None):
 
     from twingan_tpu.utils.image_io import save_image_grid
 
-    res = args.max_hw
+    # Gallery from the highest stage that actually has checkpoints (an
+    # interrupted run should still produce its best gallery, not crash).
+    res = growing = None
+    for r, g in stage_plan(args.start_hw, args.max_hw):
+        if CheckpointManager(
+            os.path.join(run_cfg.train_dir, stage_dir_name(r, g))
+        ).all_steps():
+            res, growing = r, g
+    if res is None:
+        print("no checkpoints found; skipping gallery")
+        return
     tcfg = trainer_cfg.replace(
-        model=trainer_cfg.model.replace(resolution=res, is_growing=False))
+        model=trainer_cfg.model.replace(resolution=res, is_growing=growing))
     trainer = TwinGANTrainer(tcfg)
-    cm = CheckpointManager(os.path.join(run_cfg.train_dir, str(res)))
+    cm = CheckpointManager(
+        os.path.join(run_cfg.train_dir, stage_dir_name(res, growing)))
     state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)))
     n_gal = min(8, args.eval_n)
     sources = load("a", args.n, args.n + n_gal, res)

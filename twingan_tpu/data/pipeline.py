@@ -164,6 +164,43 @@ class TFRecordSource:
         self._cache = {}  # free the duplicate dict storage
         self._cache_bytes = 0
 
+    def materialize(self, max_bytes: int = 0) -> Optional[Dict[str, np.ndarray]]:
+        """Force-decode every record into the contiguous per-key arrays and
+        return them ({key: [N, ...]}), or None when the dataset cannot be
+        materialized: random host resize (content must differ per epoch),
+        ragged items, any undecodable record (the streaming path skips
+        those; a resident array cannot), or total bytes over ``max_bytes``.
+
+        Host half of the device-resident data path (DeviceResidentSampler):
+        the arrays are uploaded to HBM once and batches become on-device
+        gathers, so steady-state training transfers only int32 indices —
+        on the ~50 MB/s axon tunnel the per-round image transfer is the
+        end-to-end training bottleneck at 256px+ (docs/PERFORMANCE.md)."""
+        if self.preprocess.resize_mode.startswith("RANDOM"):
+            return None
+        if self._arrays is None and not self._arrays_failed:
+            if self._cache is None:
+                self._cache = {}
+            self._cache_max_bytes = max(
+                self._cache_max_bytes, max_bytes or (64 << 30)
+            )
+            try:
+                for si, ri in self.index:
+                    if (si, ri) not in self._cache:
+                        self._sample(si, ri)
+                    if self._cache_bytes >= self._cache_max_bytes:
+                        return None  # over budget: bail before decoding all
+            except Exception:
+                return None
+            if len(self._cache) != len(self.index):
+                return None  # cache budget hit mid-decode
+            self._maybe_build_arrays()
+        if self._arrays is None:
+            return None
+        if max_bytes and sum(v.nbytes for v in self._arrays.values()) > max_bytes:
+            return None
+        return self._arrays
+
     def _finalize(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """uint8 image items -> float32 [0,1] unless yield_uint8."""
         if self.yield_uint8:
@@ -251,6 +288,113 @@ class UnpairedSource:
             if "embedding" in b:
                 batch["target_embedding"] = b["embedding"]
             yield batch
+
+
+class DeviceResidentSampler:
+    """Dataset-in-HBM batch source: uploads materialized per-key arrays to
+    the device(s) ONCE and draws shuffled-epoch batches as on-device
+    gathers, so steady-state training transfers only int32 sample indices.
+
+    TPU-idiomatic replacement for host batch streaming when the dataset
+    fits in an HBM budget (cf. the reference's host-side slim
+    DatasetDataProvider + prefetch_queue, model_inheritor.py:801-843 — on
+    a PCIe GPU box streaming is free; through the ~50 MB/s axon tunnel the
+    per-round image transfer is the 256px+ end-to-end training bottleneck,
+    and the axon client additionally pins every transferred payload for
+    process lifetime, docs/PERFORMANCE.md).
+
+    ``domains`` is a list of (arrays, key_map, seed): ``arrays`` a
+    materialized {in_key: [N, ...]} dict (TFRecordSource.materialize),
+    ``key_map`` {out_key: in_key} naming what this domain contributes to
+    the batch (e.g. {"source": "source", "source_embedding": "embedding"}).
+    Sampling per domain replicates TFRecordSource.__iter__ over built
+    arrays exactly — np.RandomState(seed).permutation(N) per epoch,
+    consumed batch_size at a time, short tail dropped — so a resident run
+    sees the same sample sequence as a streaming run (tested bit-equal).
+    """
+
+    def __init__(self, domains, batch_size: int, sharding=None):
+        import jax.numpy as jnp  # noqa: F401 (device arrays below)
+
+        self.batch_size = batch_size
+        self.sharding = sharding  # chunk sharding, e.g. P(None, None, 'data')
+        self.resident_bytes = 0
+        self.last_index_bytes = 0
+        self._domains = []
+        for arrays, key_map, seed in domains:
+            n = None
+            dev = {}
+            for out_key, in_key in key_map.items():
+                if in_key not in arrays:
+                    continue
+                arr = arrays[in_key]
+                n = len(arr) if n is None else n
+                if len(arr) != n:
+                    raise ValueError(
+                        f"domain arrays disagree on N: {in_key} has "
+                        f"{len(arr)}, expected {n}")
+                arr = np.ascontiguousarray(arr)
+                if sharding is not None:
+                    # Replicate the dataset across the mesh so the sharded
+                    # gather needs no per-call broadcast of the arrays.
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    dev[out_key] = jax.device_put(
+                        arr, NamedSharding(sharding.mesh, PartitionSpec())
+                    )
+                else:
+                    dev[out_key] = jax.device_put(arr)
+                self.resident_bytes += arr.nbytes
+            if not dev:
+                continue
+            if n < batch_size:
+                raise ValueError(
+                    f"device-resident domain has {n} samples < batch_size "
+                    f"{batch_size} with drop_remainder — no batch possible")
+            self._domains.append(
+                {"n": n, "dev": dev, "rng": np.random.RandomState(seed),
+                 "pos": n, "order": None}  # pos=n forces a fresh epoch
+            )
+        if not self._domains:
+            raise ValueError("DeviceResidentSampler: no usable domains")
+        self._gather = jax.jit(
+            lambda d, i: d[i],
+            out_shardings=sharding if sharding is not None else None,
+        )
+
+    def _indices(self, dom, count: int) -> np.ndarray:
+        """``count`` consecutive batches of indices from this domain's
+        shuffled-epoch stream -> [count, batch_size] int32."""
+        out = np.empty((count, self.batch_size), np.int32)
+        for c in range(count):
+            if dom["pos"] + self.batch_size > dom["n"]:
+                dom["order"] = dom["rng"].permutation(dom["n"])
+                dom["pos"] = 0
+            out[c] = dom["order"][dom["pos"]: dom["pos"] + self.batch_size]
+            dom["pos"] += self.batch_size
+        return out
+
+    def sample_chunk(self, n_rounds: int, n_critic: int = 1) -> Dict[str, "jax.Array"]:
+        """{out_key: [n_rounds, n_critic, B, ...] device array} — raw
+        (pre-augmentation) samples, gathered on device."""
+        self.last_index_bytes = 0
+        out = {}
+        for dom in self._domains:
+            idx = self._indices(dom, n_rounds * n_critic).reshape(
+                n_rounds, n_critic, self.batch_size
+            )
+            self.last_index_bytes += idx.nbytes
+            for out_key, d in dom["dev"].items():
+                out[out_key] = self._gather(d, idx)
+        return out
+
+    def sample_batches(self, n_critic: int = 1):
+        """n_critic single batches ([B, ...] device arrays) for the
+        non-scan tail path."""
+        chunk = self.sample_chunk(1, n_critic)
+        return [
+            {k: v[0, c] for k, v in chunk.items()} for c in range(n_critic)
+        ]
 
 
 class DevicePrefetcher:

@@ -179,6 +179,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "that bounds the axon client's host-memory leak)")
     p.add_argument("--profile_stage_steps", type=int, default=0)
     p.add_argument("--rounds_per_scan", type=int, default=1)
+    p.add_argument("--device_resident_gb", type=float, default=4.0,
+                   help="datasets that materialize under this many GB "
+                        "(uint8, post host-resize) are uploaded to HBM once "
+                        "and batches drawn as on-device gathers — "
+                        "steady-state training transfers only int32 sample "
+                        "indices. 0 = always stream from host")
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = all local devices); "
                         "the batch schedule is per device")
@@ -299,6 +305,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         max_stages_per_run=args.max_stages_per_run,
         profile_stage_steps=args.profile_stage_steps,
         rounds_per_scan=args.rounds_per_scan,
+        device_resident_gb=args.device_resident_gb,
         num_devices=args.num_devices,
         seed=args.seed,
     )

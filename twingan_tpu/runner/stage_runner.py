@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from twingan_tpu.data.datasets import get_dataset
 from twingan_tpu.data.pipeline import (
     DevicePrefetcher,
+    DeviceResidentSampler,
     SyntheticSource,
     TFRecordSource,
     UnpairedSource,
@@ -170,6 +171,16 @@ class RunConfig:
     # resolutions: a 300k-image 256px stage stages ~235 GB of uint8 batches,
     # far past host RAM once the axon client pins every payload.
     max_transfer_gb_per_run: float = 0.0
+    # Device-resident datasets (0 = off): when the real-data sources
+    # materialize under this many GB (uint8, post host-resize), upload them
+    # to HBM once and draw every batch as an on-device gather
+    # (DeviceResidentSampler) — steady-state training then transfers only
+    # int32 sample indices. Through the ~50 MB/s axon tunnel the per-round
+    # image transfer is the 256px+ end-to-end bottleneck, and zero
+    # streaming also sidesteps the client's per-payload host leak (no
+    # max_transfer_gb_per_run re-execs). Falls back to streaming for
+    # multi-host runs, random host-resize modes, ragged/oversized datasets.
+    device_resident_gb: float = 4.0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -289,23 +300,11 @@ class StageRunner:
             is_training=True,
         )
 
-    def _build_data(
-        self, res: int, batch: int, to_device: bool = True
-    ) -> tuple[Iterator, Callable]:
-        """Returns (iterator over batches, close_fn). With to_device=False
-        the prefetcher yields host arrays and the caller stages them in bulk
-        (one large transfer per scan chunk)."""
+    def _build_sources(self, res: int, batch: int):
+        """The real-data TFRecordSource pair ((a, b); b is None for
+        single-dataset programs)."""
         cfg = self.cfg
         needs_pair = cfg.program == "twingan"
-        if cfg.use_synthetic_data or not cfg.dataset_dir:
-            keys = ("source", "target") if needs_pair else ("target",)
-            num_classes = 0
-            if getattr(cfg.trainer, "use_conditional_labels", False):
-                keys = keys + ("conditional_labels",)
-                num_classes = cfg.trainer.num_classes
-            src = SyntheticSource(batch, self._preprocess_cfg(res).host_hw,
-                                  seed=cfg.seed, keys=keys, num_classes=num_classes)
-            return iter(src), lambda: None
         pp = self._preprocess_cfg(res)
         # Thread the trainer's label space into the dataset spec so real-data
         # conditional training emits one-hots of the right width (reference
@@ -323,12 +322,92 @@ class StageRunner:
             list_shards(cfg.dataset_dir, cfg.dataset_split),
             pp, batch, seed=cfg.seed, yield_uint8=True,
         )
+        b = None
         if needs_pair:
             b = TFRecordSource(
                 get_dataset(cfg.target_dataset_name, use_target=False),
                 list_shards(cfg.target_dataset_dir or cfg.dataset_dir, cfg.dataset_split),
                 pp, batch, seed=cfg.seed + 1, yield_uint8=True,
             )
+        return a, b
+
+    def _build_resident(self, res: int, batch: int):
+        """DeviceResidentSampler over the stage's datasets, or None when
+        the resident path does not apply (budget off, synthetic data,
+        multi-host, random host resize, ragged/oversized/undecodable
+        datasets) — callers fall back to the streaming path."""
+        cfg = self.cfg
+        if (
+            not cfg.device_resident_gb
+            or cfg.use_synthetic_data
+            or not cfg.dataset_dir
+            or jax.process_count() > 1
+        ):
+            return None
+        budget = int(cfg.device_resident_gb * (1 << 30))
+        a, b = self._build_sources(res, batch)
+        arrs_a = a.materialize(budget)
+        if arrs_a is None:
+            return None
+        img_a = next((k for k in ("source", "target", "image") if k in arrs_a), None)
+        if img_a is None:
+            return None
+        if b is not None:
+            used = sum(v.nbytes for v in arrs_a.values())
+            arrs_b = b.materialize(max(budget - used, 1))
+            if arrs_b is None:
+                return None
+            img_b = next((k for k in ("source", "target", "image") if k in arrs_b), None)
+            if img_b is None:
+                return None
+            # UnpairedSource key mapping (a_* -> source side, b_* -> target).
+            domains = [
+                (arrs_a, {"source": img_a, "source_embedding": "embedding",
+                          "conditional_labels": "conditional_labels"}, cfg.seed),
+                (arrs_b, {"target": img_b, "target_embedding": "embedding"},
+                 cfg.seed + 1),
+            ]
+        else:
+            domains = [
+                (arrs_a, {"target": img_a,
+                          "conditional_labels": "conditional_labels"}, cfg.seed)
+            ]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = NamedSharding(self.mesh, PartitionSpec(None, None, "data"))
+        else:
+            spec = None
+        try:
+            sampler = DeviceResidentSampler(domains, batch, sharding=spec)
+        except ValueError:
+            return None
+        print(
+            f"[data {res}px] device-resident: "
+            f"{sampler.resident_bytes / 1e6:.1f} MB uploaded once; "
+            "steady-state transfers are int32 indices only"
+        )
+        return sampler
+
+    def _build_data(
+        self, res: int, batch: int, to_device: bool = True
+    ) -> tuple[Iterator, Callable]:
+        """Returns (iterator over batches, close_fn). With to_device=False
+        the prefetcher yields host arrays and the caller stages them in bulk
+        (one large transfer per scan chunk)."""
+        cfg = self.cfg
+        needs_pair = cfg.program == "twingan"
+        if cfg.use_synthetic_data or not cfg.dataset_dir:
+            keys = ("source", "target") if needs_pair else ("target",)
+            num_classes = 0
+            if getattr(cfg.trainer, "use_conditional_labels", False):
+                keys = keys + ("conditional_labels",)
+                num_classes = cfg.trainer.num_classes
+            src = SyntheticSource(batch, self._preprocess_cfg(res).host_hw,
+                                  seed=cfg.seed, keys=keys, num_classes=num_classes)
+            return iter(src), lambda: None
+        a, b = self._build_sources(res, batch)
+        if needs_pair:
             pf = DevicePrefetcher(
                 UnpairedSource(a, b), depth=2, sharding=self.batch_sharding,
                 to_device=to_device,
@@ -427,9 +506,13 @@ class StageRunner:
         state = self._replicate(state)
         writer = (SummaryWriter(os.path.join(stage_dir, "logs"))
                   if self.is_coordinator else _NullWriter())
-        data_iter, close_data = self._build_data(
-            res, trainer.cfg.batch_size, to_device=cfg.rounds_per_scan <= 1
-        )
+        resident = self._build_resident(res, trainer.cfg.batch_size)
+        if resident is not None:
+            data_iter, close_data = None, (lambda: None)
+        else:
+            data_iter, close_data = self._build_data(
+                res, trainer.cfg.batch_size, to_device=cfg.rounds_per_scan <= 1
+            )
         pp = self._preprocess_cfg(res)
         aug_key = jax.random.PRNGKey(cfg.seed + 13)
         rng = jax.random.PRNGKey(cfg.seed + 17)
@@ -455,18 +538,24 @@ class StageRunner:
 
         def next_batches():
             nonlocal aug_key
+            if resident is not None:
+                raws = resident.sample_batches(n_critic)
+                staged["bytes"] += resident.last_index_bytes
+            else:
+                raws = [next(data_iter) for _ in range(n_critic)]
             batches = []
-            for _ in range(n_critic):
-                raw = next(data_iter)
+            for raw in raws:
                 batch = {}
                 for key in ("source", "target"):
                     if key in raw:
                         aug_key, sub = jax.random.split(aug_key)
-                        staged["bytes"] += np.asarray(raw[key]).nbytes
+                        if resident is None:
+                            staged["bytes"] += np.asarray(raw[key]).nbytes
                         batch[key] = augment_batch(sub, put(raw[key]), pp)
                 for key in ("source_embedding", "target_embedding", "conditional_labels"):
                     if key in raw:
-                        staged["bytes"] += np.asarray(raw[key]).nbytes
+                        if resident is None:
+                            staged["bytes"] += np.asarray(raw[key]).nbytes
                         batch[key] = put(raw[key])
                 batches.append(batch)
             # (multi-host: shards are not host-fetchable; grids are a
@@ -485,42 +574,53 @@ class StageRunner:
             (per-batch puts/augments through the tunnel dominated real-data
             wall-clock at small resolutions)."""
             nonlocal aug_key
-            raw = [[next(data_iter) for _ in range(n_critic)] for _ in range(n_rounds)]
-            keys = set(raw[0][0])
-            for rnd in raw:
-                for b_ in rnd:
-                    keys &= set(b_)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 spec = NamedSharding(self.mesh, PartitionSpec(None, None, "data"))
             else:
                 spec = None
-            stacked = {}
-            for k in keys:
-                arr = np.stack(
-                    [np.stack([np.asarray(raw[r][c][k]) for c in range(n_critic)])
-                     for r in range(n_rounds)]
-                )  # [R, n_critic, B, ...]
-                staged["bytes"] += arr.nbytes
-                if spec is not None:
-                    from twingan_tpu.parallel.multihost import make_global_array
+            if resident is not None:
+                # Device-resident path: [R, n_critic, B, ...] gathered on
+                # device from the HBM dataset; only int32 indices staged.
+                stacked_raw = resident.sample_chunk(n_rounds, n_critic)
+                staged["bytes"] += resident.last_index_bytes
+            else:
+                raw = [[next(data_iter) for _ in range(n_critic)] for _ in range(n_rounds)]
+                keys = set(raw[0][0])
+                for rnd in raw:
+                    for b_ in rnd:
+                        keys &= set(b_)
+                stacked_raw = {}
+                for k in sorted(keys):
+                    arr = np.stack(
+                        [np.stack([np.asarray(raw[r][c][k]) for c in range(n_critic)])
+                         for r in range(n_rounds)]
+                    )  # [R, n_critic, B, ...]
+                    staged["bytes"] += arr.nbytes
+                    if spec is not None:
+                        if jax.process_count() > 1:
+                            # Batch axis is dim 2 here; every process holds
+                            # the global stack, so the replicated leading
+                            # dims make the whole local shard derivable —
+                            # but local_batch_slice targets dim 0, so slice
+                            # dim 2 explicitly.
+                            from twingan_tpu.parallel.multihost import local_batch_slice
 
-                    if jax.process_count() > 1:
-                        # Batch axis is dim 2 here; every process holds the
-                        # global stack, so the replicated leading dims make
-                        # the whole local shard derivable — but
-                        # local_batch_slice targets dim 0, so slice dim 2
-                        # explicitly.
-                        from twingan_tpu.parallel.multihost import local_batch_slice
-
-                        x = jax.make_array_from_process_local_data(
-                            spec, arr[:, :, local_batch_slice(arr.shape[2])]
-                        )
+                            x = jax.make_array_from_process_local_data(
+                                spec, arr[:, :, local_batch_slice(arr.shape[2])]
+                            )
+                        else:
+                            x = jax.device_put(arr, spec)
                     else:
-                        x = jax.device_put(arr, spec)
-                else:
-                    x = jnp.asarray(arr)
+                        x = jnp.asarray(arr)
+                    stacked_raw[k] = x
+            stacked = {}
+            # sorted: the aug_key split order must not depend on set/dict
+            # iteration order (keeps resident and streaming runs on the
+            # same augmentation stream — tested bit-equal).
+            for k in sorted(stacked_raw):
+                x = stacked_raw[k]
                 if k in ("source", "target"):
                     aug_key, sub = jax.random.split(aug_key)
                     flat = x.reshape((-1,) + x.shape[3:])
