@@ -29,44 +29,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def eval_checkpoint(trainer, state, sources, targets_true, targets_pool, feats):
+def eval_checkpoint(trainer, state, sources_dev, targets_true_dev,
+                    targets_pool_dev, feats, real_stats):
+    """Metrics for one checkpoint, device-resident end-to-end: the eval
+    sets are uploaded ONCE per stage by the caller and every metric
+    consumes device arrays, so per-checkpoint traffic is the restored
+    params plus scalars/feature vectors (previously each checkpoint
+    re-staged ~500 MB of fp32 images through the ~50 MB/s tunnel — hours
+    of pure transfer over a full run's checkpoint list)."""
     import jax.numpy as jnp
     import jax
 
-    from twingan_tpu.evals.metrics import fid, pairwise_msssim, swd_eval
-
-    out = np.asarray(
-        trainer.translate(state, jnp.asarray(sources), "s2t").astype(jnp.float32)
+    from twingan_tpu import ops
+    from twingan_tpu.evals.metrics import (
+        activation_statistics, frechet_distance,
     )
-    res = out.shape[1]
-    m = {
-        "l1_vs_truth": float(np.mean(np.abs(out - targets_true))),
-        "msssim_vs_truth": (
-            pairwise_msssim(out, targets_true) if res >= 176 else float("nan")
-        ),
-        "fid": fid(feats, [targets_pool], [out]),
-    }
-    if res >= 16:
-        table = swd_eval(
-            jax.random.PRNGKey(0), [targets_pool[: len(out)]], [out],
-            num_images=len(out),
-        )
-        if table:
-            m["swd_avg_x1e3"] = float(np.mean([v[1] for v in table.values()]))
-    # MS-SSIM needs >=176px for the 5-level protocol; use SSIM-equivalent
-    # single-scale at small res via levels param.
-    if res < 176:
-        from twingan_tpu import ops
 
+    out = trainer.translate(state, sources_dev, "s2t").astype(jnp.float32)
+    res = out.shape[1]
+    m = {"l1_vs_truth": float(jnp.mean(jnp.abs(out - targets_true_dev)))}
+    mu_f, sig_f = activation_statistics(feats, [out])
+    m["fid"] = frechet_distance(real_stats[0], real_stats[1], mu_f, sig_f)
+    # MS-SSIM needs >=176px for the 5-level protocol; use the
+    # SSIM-equivalent reduced-level form at small res.
+    levels = 5
+    if res < 176:
         levels = 1
         r = res
         while r >= 32 and levels < 5:
             r //= 2
             levels += 1
-        m["msssim_vs_truth"] = float(
-            ops.msssim(jnp.asarray(out), jnp.asarray(targets_true),
-                       max_val=1.0, levels=levels)
-        )
+    m["msssim_vs_truth"] = float(
+        ops.msssim(out, targets_true_dev, max_val=1.0, levels=levels)
+    )
+    if res >= 16:
+        # Reference SWD table (fake column averaged), computed on device.
+        scores = np.asarray(
+            ops.sliced_wasserstein_distance(
+                jax.random.PRNGKey(0), targets_pool_dev[: len(out)], out
+            )
+        ) * 1e3
+        m["swd_avg_x1e3"] = float(np.mean(scores[:, 1]))
     return m
 
 
@@ -276,13 +279,21 @@ def main(argv=None):
             max_steps=max(1, args.images // args.batch),
         )
         trainer = TwinGANTrainer(tcfg)
-        sources = load("a", args.n, args.n + args.eval_n, res)
-        targets_true = load("b", args.n, args.n + args.eval_n, res)
-        targets_pool = load("b", 0, min(args.n, 256), res)
+        import jax.numpy as jnp
+
+        from twingan_tpu.evals.metrics import activation_statistics
+
+        # One upload per stage; every checkpoint below reuses these device
+        # arrays (and the real-set feature statistics never change).
+        sources_dev = jnp.asarray(load("a", args.n, args.n + args.eval_n, res))
+        targets_true_dev = jnp.asarray(
+            load("b", args.n, args.n + args.eval_n, res))
+        targets_pool_dev = jnp.asarray(load("b", 0, min(args.n, 256), res))
+        real_stats = activation_statistics(feats, [targets_pool_dev])
         for step in steps:
             state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)), step)
-            m = eval_checkpoint(trainer, state, sources, targets_true,
-                                targets_pool, feats)
+            m = eval_checkpoint(trainer, state, sources_dev, targets_true_dev,
+                                targets_pool_dev, feats, real_stats)
             rows.append({"stage": stage, "step": step, **m})
             print(f"[{stage} @ {step}] " + " ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
