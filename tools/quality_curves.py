@@ -134,6 +134,11 @@ def main(argv=None):
                    "training transfers only int32 indices — the per-round "
                    "image transfer through the ~50 MB/s axon tunnel is the "
                    "256px+ end-to-end bottleneck). 0 = host streaming")
+    p.add_argument("--eval_min_hw", type=int, default=0,
+                   help="skip the metric pass for stages below this "
+                   "resolution (each stage eval pays a fresh translate "
+                   "compile through the tunnel; low-res trajectories are "
+                   "usually already published from earlier runs)")
     p.add_argument("--eval_only", action="store_true",
                    help="skip training: evaluate whatever checkpoints exist "
                    "under --work and write curves + gallery (salvages "
@@ -268,12 +273,15 @@ def main(argv=None):
         feats = inception_pool_features_fn(image_hw=max(args.max_hw, 75), seed=0)
     rows = []
     for res, growing in stage_plan(args.start_hw, args.max_hw):
+        if res < args.eval_min_hw:
+            continue
         stage = stage_dir_name(res, growing)
         stage_dir = os.path.join(run_cfg.train_dir, stage)
         cm = CheckpointManager(stage_dir)
         steps = cm.all_steps()
         if not steps:
             continue
+        t_stage_eval = time.time()
         tcfg = trainer_cfg.replace(
             model=trainer_cfg.model.replace(resolution=res, is_growing=growing),
             max_steps=max(1, args.images // args.batch),
@@ -297,6 +305,8 @@ def main(argv=None):
             rows.append({"stage": stage, "step": step, **m})
             print(f"[{stage} @ {step}] " + " ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
+        print(f"[{stage}] eval wall {time.time() - t_stage_eval:.1f}s "
+              f"({len(steps)} checkpoints)")
 
     with open(os.path.join(args.work, "quality_curves.json"), "w") as f:
         json.dump({"rows": rows, "train_wall_sec": train_wall,
