@@ -628,6 +628,55 @@ class TestStretchWarmStart:
                    for k in flax.traverse_util.flatten_dict(raw, sep="/"))
 
 
+    def test_skip_start_stage_grows_from_external_checkpoint(
+        self, tmp_path, capsys
+    ):
+        """skip_start_stage: the external checkpoint IS the plan's first
+        stage — no retraining of it; the growing stage warm-starts from
+        checkpoint_path directly (the real 256->512 stretch entry, where a
+        redundant top-stage re-stabilize costs hours)."""
+        from twingan_tpu.train.twingan_trainer import TwinGANConfig
+
+        tcfg = TwinGANConfig(
+            model=PGGANConfig(resolution=8, max_channels=16, num_domains=2),
+            batch_size=4,
+            opt=OptimizerConfig(learning_rate=1e-3),
+        )
+        pre_cfg = RunConfig(
+            program="twingan",
+            train_dir=str(tmp_path / "plain"),
+            start_hw=8, max_hw=8,
+            num_images_per_resolution=12,
+            batch_schedule={8: 4},
+            use_synthetic_data=True,
+            trainer=tcfg,
+            log_every_n_steps=1, save_every_n_steps=100,
+            log_image_every_n_iter=0, num_devices=1,
+        )
+        assert StageRunner(pre_cfg).run()["8"]["steps"] == 3
+
+        stretch_cfg = pre_cfg.replace(
+            train_dir=str(tmp_path / "stretch"),
+            start_hw=8, max_hw=16,
+            batch_schedule={8: 4, 16: 4},
+            checkpoint_path=os.path.join(pre_cfg.train_dir, "8"),
+            skip_start_stage=True,
+        )
+        summary = StageRunner(stretch_cfg).run()
+        assert summary["8"] == {
+            "skipped": True, "external": stretch_cfg.checkpoint_path}
+        assert summary["8to16"]["steps"] == 3 and summary["16"]["steps"] == 3
+        # The first stage trained nothing in THIS run dir...
+        assert not os.path.exists(os.path.join(stretch_cfg.train_dir, "8"))
+        out = capsys.readouterr().out
+        assert "supplied by --checkpoint_path" in out
+        # ...and the growing stage warm-started from the external dir.
+        assert any(
+            "[stage 8to16] warm start from" in l and "plain" in l
+            for l in out.splitlines()
+        ), out
+
+
 class TestSchemaEvolution:
     def test_restore_tolerates_missing_new_fields(self, tmp_path):
         """Checkpoints saved before a state field existed must still load

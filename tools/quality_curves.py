@@ -134,6 +134,10 @@ def main(argv=None):
                    "training transfers only int32 indices — the per-round "
                    "image transfer through the ~50 MB/s axon tunnel is the "
                    "256px+ end-to-end bottleneck). 0 = host streaming")
+    p.add_argument("--skip_start_stage", type=int, default=0,
+                   help="with --checkpoint_path: the plan's first stage IS "
+                   "the external checkpoint — don't retrain it, grow the "
+                   "next stage from it directly (256->512 stretch entry)")
     p.add_argument("--eval_min_hw", type=int, default=0,
                    help="skip the metric pass for stages below this "
                    "resolution (each stage eval pays a fresh translate "
@@ -237,6 +241,7 @@ def main(argv=None):
         max_stages_per_run=1 if args.isolate_stages else 0,
         max_transfer_gb_per_run=args.max_transfer_gb if args.isolate_stages else 0,
         device_resident_gb=args.device_resident_gb,
+        skip_start_stage=bool(args.skip_start_stage),
     )
     # Cumulative training wall-clock across isolated per-stage subprocesses;
     # a FRESH run (no train dir yet) must not inherit a previous run's total.

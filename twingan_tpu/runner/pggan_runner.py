@@ -179,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "that bounds the axon client's host-memory leak)")
     p.add_argument("--profile_stage_steps", type=int, default=0)
     p.add_argument("--rounds_per_scan", type=int, default=1)
+    p.add_argument("--skip_start_stage", type=_bool, default=False,
+                   help="with --checkpoint_path: the plan's first stage IS "
+                        "the external checkpoint — grow the next stage from "
+                        "it directly instead of retraining (stretch entry)")
     p.add_argument("--device_resident_gb", type=float, default=4.0,
                    help="datasets that materialize under this many GB "
                         "(uint8, post host-resize) are uploaded to HBM once "
@@ -306,6 +310,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         profile_stage_steps=args.profile_stage_steps,
         rounds_per_scan=args.rounds_per_scan,
         device_resident_gb=args.device_resident_gb,
+        skip_start_stage=args.skip_start_stage,
         num_devices=args.num_devices,
         seed=args.seed,
     )

@@ -181,6 +181,14 @@ class RunConfig:
     # max_transfer_gb_per_run re-execs). Falls back to streaming for
     # multi-host runs, random host-resize modes, ragged/oversized datasets.
     device_resident_gb: float = 4.0
+    # With checkpoint_path: treat the plan's FIRST stage as already trained
+    # by that external checkpoint instead of warm-starting and retraining
+    # it — the next stage growth-migrates from checkpoint_path directly.
+    # The stretch-run entry point (reference 256->512 continuation,
+    # pggan_runner.py:52-56): a finished 256 run feeds a 256->512 plan
+    # without paying a redundant 256 re-stabilize. checkpoint_exclude_scopes
+    # does not apply on this path (the skipped stage is used as-is).
+    skip_start_stage: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -438,6 +446,18 @@ class StageRunner:
         summary = {}
         executed = 0
         for i, (res, growing) in enumerate(plan):
+            if i == 0 and cfg.skip_start_stage and cfg.checkpoint_path:
+                # Stretch-run entry: the external checkpoint IS the plan's
+                # first stage (e.g. a finished 256 stabilize feeding a
+                # 256->512 run) — don't retrain it, warm-start the next
+                # stage from it directly (growth migration adds the new
+                # blocks / SA / spectral params there).
+                print(f"[stage {stage_dir_name(res, growing)}] supplied by "
+                      f"--checkpoint_path {cfg.checkpoint_path}; skipping")
+                prev_stage_dir = cfg.checkpoint_path
+                summary[stage_dir_name(res, growing)] = {
+                    "skipped": True, "external": cfg.checkpoint_path}
+                continue
             stage_dir = os.path.join(cfg.train_dir, stage_dir_name(res, growing))
             steps = self.steps_for_stage(res)
             cm = CheckpointManager(stage_dir)
