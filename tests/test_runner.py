@@ -477,6 +477,89 @@ class TestNanRecovery:
         with pytest.raises(FloatingPointError):
             StageRunner(cfg).run()
 
+    def test_async_probe_still_recovers_and_never_saves_nan(
+        self, tmp_path, monkeypatch
+    ):
+        """async_probe defers the NaN check by one scan chunk; recovery
+        must still fire and no checkpoint may hold non-finite params."""
+        cfg = RunConfig(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=64,  # 16 steps = 8 chunks of 2
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(res=4),
+            log_every_n_steps=2,
+            save_every_n_steps=4,
+            log_image_every_n_iter=0,
+            max_nan_recoveries=2,
+            rounds_per_scan=2,
+            num_devices=1,
+            async_probe=True,
+        )
+        runner = StageRunner(cfg)
+        from twingan_tpu.train.gan_trainer import GanTrainer
+
+        real_scan = GanTrainer.scan_rounds
+        fired = {"n": 0}
+
+        def poisoned(self, state, stacked, rng):
+            state, metrics = real_scan(self, state, stacked, rng)
+            if int(state.step) == 6 and fired["n"] == 0:
+                fired["n"] = 1
+                metrics = dict(metrics)
+                metrics["generator_loss"] = (
+                    metrics["generator_loss"].at[-1].set(float("nan")))
+            return state, metrics
+
+        monkeypatch.setattr(GanTrainer, "scan_rounds", poisoned)
+        summary = runner.run()
+        assert fired["n"] == 1
+        assert summary["4"]["steps"] == 16  # completed despite the NaN
+        # Every persisted checkpoint is finite.
+        from twingan_tpu.train.gan_trainer import GanTrainer as GT
+
+        trainer = GT(small_trainer_cfg(res=4).replace(max_steps=16))
+        cm = CheckpointManager(os.path.join(cfg.train_dir, "4"))
+        for step in cm.all_steps():
+            st = cm.restore(trainer.init_state(jax.random.PRNGKey(0)), step)
+            for leaf in jax.tree_util.tree_leaves(st.params):
+                assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+    def test_async_probe_budget_exhausted_still_raises(
+        self, tmp_path, monkeypatch
+    ):
+        cfg = RunConfig(
+            program="image_generation",
+            train_dir=str(tmp_path / "run"),
+            start_hw=4, max_hw=4,
+            num_images_per_resolution=16,
+            batch_schedule={4: 4},
+            use_synthetic_data=True,
+            trainer=small_trainer_cfg(res=4),
+            log_every_n_steps=1,
+            log_image_every_n_iter=0,
+            max_nan_recoveries=1,
+            rounds_per_scan=2,
+            num_devices=1,
+            async_probe=True,
+        )
+        from twingan_tpu.train.gan_trainer import GanTrainer
+
+        real_scan = GanTrainer.scan_rounds
+
+        def always_nan(self, state, stacked, rng):
+            state, metrics = real_scan(self, state, stacked, rng)
+            metrics = dict(metrics)
+            metrics["generator_loss"] = (
+                metrics["generator_loss"].at[-1].set(float("nan")))
+            return state, metrics
+
+        monkeypatch.setattr(GanTrainer, "scan_rounds", always_nan)
+        with pytest.raises(FloatingPointError):
+            StageRunner(cfg).run()
+
 
 class TestFineTuning:
     def test_frozen_scopes(self):
@@ -941,5 +1024,38 @@ class TestDeviceResidentRunner:
         for a, b in zip(
             jax.tree_util.tree_leaves(runs["stream"].params),
             jax.tree_util.tree_leaves(runs["res"].params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAsyncProbeEquivalence:
+    def test_async_probe_bit_matches_sync(self, tmp_path):
+        """async_probe changes host synchronization only — a clean run
+        produces bit-identical params either way."""
+        runs = {}
+        for name, async_probe in (("sync", False), ("async", True)):
+            cfg = RunConfig(
+                program="image_generation",
+                train_dir=str(tmp_path / name),
+                start_hw=4, max_hw=4,
+                num_images_per_resolution=40,  # 10 steps = 5 chunks of 2
+                batch_schedule={4: 4},
+                use_synthetic_data=True,
+                trainer=small_trainer_cfg(res=4),
+                log_every_n_steps=4,
+                save_every_n_steps=100,
+                log_image_every_n_iter=0,
+                rounds_per_scan=2,
+                num_devices=1,
+                async_probe=async_probe,
+            )
+            StageRunner(cfg).run()
+            trainer = GanTrainer(small_trainer_cfg(res=4).replace(max_steps=10))
+            runs[name] = CheckpointManager(
+                os.path.join(cfg.train_dir, "4")
+            ).restore(trainer.init_state(jax.random.PRNGKey(0)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(runs["sync"].params),
+            jax.tree_util.tree_leaves(runs["async"].params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -134,6 +134,11 @@ def main(argv=None):
                    "training transfers only int32 indices — the per-round "
                    "image transfer through the ~50 MB/s axon tunnel is the "
                    "256px+ end-to-end bottleneck). 0 = host streaming")
+    p.add_argument("--async_probe", type=int, default=1,
+                   help="pipelined failure detection: defer the per-chunk "
+                   "NaN probe by one chunk so the host never blocks on the "
+                   "device between dispatches (force-flushed before any "
+                   "checkpoint/sample snapshot). 0 = synchronous probe")
     p.add_argument("--skip_start_stage", type=int, default=0,
                    help="with --checkpoint_path: the plan's first stage IS "
                    "the external checkpoint — don't retrain it, grow the "
@@ -242,6 +247,7 @@ def main(argv=None):
         max_transfer_gb_per_run=args.max_transfer_gb if args.isolate_stages else 0,
         device_resident_gb=args.device_resident_gb,
         skip_start_stage=bool(args.skip_start_stage),
+        async_probe=bool(args.async_probe),
     )
     # Cumulative training wall-clock across isolated per-stage subprocesses;
     # a FRESH run (no train dir yet) must not inherit a previous run's total.

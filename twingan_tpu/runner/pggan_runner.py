@@ -179,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "that bounds the axon client's host-memory leak)")
     p.add_argument("--profile_stage_steps", type=int, default=0)
     p.add_argument("--rounds_per_scan", type=int, default=1)
+    p.add_argument("--async_probe", type=_bool, default=False,
+                   help="pipelined failure detection: defer the per-chunk "
+                        "NaN probe by one scan chunk (host never blocks "
+                        "between dispatches; flushed before snapshots)")
     p.add_argument("--skip_start_stage", type=_bool, default=False,
                    help="with --checkpoint_path: the plan's first stage IS "
                         "the external checkpoint — grow the next stage from "
@@ -311,6 +315,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         rounds_per_scan=args.rounds_per_scan,
         device_resident_gb=args.device_resident_gb,
         skip_start_stage=args.skip_start_stage,
+        async_probe=args.async_probe,
         num_devices=args.num_devices,
         seed=args.seed,
     )
