@@ -152,23 +152,105 @@ def main(argv=None):
                    help="skip training: evaluate whatever checkpoints exist "
                    "under --work and write curves + gallery (salvages "
                    "partial/interrupted runs)")
+    p.add_argument("--incremental", action="store_true",
+                   help="merge with an existing <work>/quality_curves.json: "
+                   "skip (stage, step) rows already evaluated, append only "
+                   "new ones (per-stage banking re-runs stay cheap)")
+    p.add_argument("--bank_dir", default="",
+                   help="after EACH stage completes (requires "
+                   "--isolate_stages), run an incremental eval in a fresh "
+                   "process and copy curves/gallery/stage-rates into this "
+                   "directory, then `git add + commit` it — so a VM reset "
+                   "can never erase a finished stage's evidence "
+                   "(VERDICT r3 item 1)")
+    p.add_argument("--train_log", default="",
+                   help="with --bank_dir: capture worker stdout to this file "
+                   "and bank a tools/stage_rates.py table from it")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu for smoke tests; the "
+                   "JAX_PLATFORMS env var alone is ignored under axon)")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
     if args.isolate_stages and not args._worker and not args.eval_only:
         import subprocess
 
+        def bank():
+            if not args.bank_dir:
+                return
+            # Fresh process per eval: bounds the axon per-payload leak and
+            # pays exactly one translate compile (the newly finished stage).
+            ev = [sys.executable, os.path.abspath(__file__), *base,
+                  "--_worker", "--eval_only", "--incremental"]
+            log_f = open(args.train_log, "ab") if args.train_log else None
+            subprocess.run(ev, stdout=log_f, stderr=subprocess.STDOUT)
+            if log_f:
+                log_f.close()
+            os.makedirs(args.bank_dir, exist_ok=True)
+            import glob
+            import shutil
+
+            for f in (["quality_curves.json", "quality_curves.md"] +
+                      [os.path.basename(g) for g in
+                       glob.glob(os.path.join(args.work, "quality_gallery*.png"))]):
+                src = os.path.join(args.work, f)
+                if os.path.exists(src):
+                    shutil.copy2(src, os.path.join(args.bank_dir, f))
+            if args.train_log and os.path.exists(args.train_log):
+                sched = ",".join(
+                    [f"default={args.batch}"] +
+                    ([f"{args.max_hw}={args.batch_top}"] if args.batch_top else []))
+                with open(os.path.join(args.bank_dir, "stage_rates.md"), "w") as f:
+                    subprocess.run(
+                        [sys.executable,
+                         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "stage_rates.py"),
+                         args.train_log, "--batch_schedule", sched],
+                        stdout=f, stderr=subprocess.STDOUT)
+            # Bank the latest checkpoint of the top-resolution stages too
+            # (~tens of MB): the 256->512 stretch warm start must survive a
+            # VM reset, and work dirs have evaporated before (VERDICT r3).
+            train_dir = os.path.join(args.work, "train")
+            for stage in (f"{args.max_hw // 2}to{args.max_hw}",
+                          str(args.max_hw)):
+                sdir = os.path.join(train_dir, stage)
+                if not os.path.isdir(sdir):
+                    continue
+                cks = sorted((d for d in os.listdir(sdir)
+                              if d.startswith("ckpt-")),
+                             key=lambda d: int(d.split("-")[1]))
+                if cks:
+                    subprocess.run(
+                        ["tar", "-C", sdir, "-czf",
+                         os.path.join(args.bank_dir, f"ckpt_{stage}.tar.gz"),
+                         cks[-1]])
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            subprocess.run(["git", "-C", repo, "add", args.bank_dir])
+            subprocess.run(["git", "-C", repo, "commit", "-q", "-m",
+                            f"bank quality-run artifacts: {args.bank_dir}"],
+                           stdout=subprocess.DEVNULL)
+
         base = list(argv if argv is not None else sys.argv[1:])
         while True:
+            log_f = open(args.train_log, "ab") if args.train_log else None
             rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), *base, "--_worker"]
+                [sys.executable, os.path.abspath(__file__), *base, "--_worker"],
+                stdout=log_f, stderr=subprocess.STDOUT if log_f else None,
             ).returncode
+            if log_f:
+                log_f.close()
+            if rc in (0, 3):
+                bank()
             if rc == 0:
                 return
             if rc != 3:  # 3 = "one stage done, more remain"
                 raise SystemExit(rc)
 
     t_wall = time.time()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     dom = os.path.join(args.work, "domains")
     if not os.path.exists(os.path.join(dom, "rec_a")):
         import make_demo_domains
@@ -282,14 +364,23 @@ def main(argv=None):
         feats = classifier_features_fn(args.fid_classifier)
     else:
         feats = inception_pool_features_fn(image_hw=max(args.max_hw, 75), seed=0)
+    curves_path = os.path.join(args.work, "quality_curves.json")
     rows = []
+    done = set()
+    if args.incremental and os.path.exists(curves_path):
+        with open(curves_path) as f:
+            prior = json.load(f)
+        rows = list(prior.get("rows", []))
+        done = {(r["stage"], r["step"]) for r in rows}
+        if not summary:
+            summary = prior.get("summary", {})
     for res, growing in stage_plan(args.start_hw, args.max_hw):
         if res < args.eval_min_hw:
             continue
         stage = stage_dir_name(res, growing)
         stage_dir = os.path.join(run_cfg.train_dir, stage)
         cm = CheckpointManager(stage_dir)
-        steps = cm.all_steps()
+        steps = [s for s in cm.all_steps() if (stage, s) not in done]
         if not steps:
             continue
         t_stage_eval = time.time()
@@ -319,6 +410,7 @@ def main(argv=None):
         print(f"[{stage}] eval wall {time.time() - t_stage_eval:.1f}s "
               f"({len(steps)} checkpoints)")
 
+    n_new = len(rows) - len(done)
     with open(os.path.join(args.work, "quality_curves.json"), "w") as f:
         json.dump({"rows": rows, "train_wall_sec": train_wall,
                    "summary": summary}, f, indent=1)
@@ -342,8 +434,16 @@ def main(argv=None):
 
     # Gallery from the highest stage that actually has checkpoints (an
     # interrupted run should still produce its best gallery, not crash).
+    if args.incremental and n_new == 0:
+        # Per-stage banking below --eval_min_hw: nothing new was evaluated,
+        # so don't pay a fresh translate compile (tunnel: minutes) for an
+        # unchanged gallery.
+        print("incremental: no new rows; skipping gallery")
+        return
     res = growing = None
     for r, g in stage_plan(args.start_hw, args.max_hw):
+        if r < args.eval_min_hw:
+            continue
         if CheckpointManager(
             os.path.join(run_cfg.train_dir, stage_dir_name(r, g))
         ).all_steps():
@@ -368,6 +468,11 @@ def main(argv=None):
     ], axis=0)
     gallery = os.path.join(args.work, "quality_gallery.png")
     save_image_grid(gallery, grid[None])
+    # Per-stage copy too, so banked artifacts show the progression (and a
+    # later, worse stage can never silently overwrite the best gallery).
+    save_image_grid(os.path.join(
+        args.work, f"quality_gallery_{stage_dir_name(res, growing)}.png"),
+        grid[None])
     print("written:", gallery)
 
 
