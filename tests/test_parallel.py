@@ -166,6 +166,26 @@ class TestContextParallelAttention:
                 np.asarray(lu), np.asarray(lf), rtol=1e-2, atol=2e-3 * gscale,
                 err_msg=jax.tree_util.keystr(ku))
 
+    def test_size1_mesh_degenerates_to_local(self):
+        # Single-chip production entry (the 512 stretch run enables the cp
+        # flag on one real chip): a REGISTERED mesh of size 1 must take the
+        # local path and match it exactly (VERDICT r3 item 8).
+        from twingan_tpu.parallel import current_mesh, set_current_mesh
+
+        mesh = create_mesh(jax.devices()[:1])
+        code = jnp.asarray(
+            np.random.RandomState(3).rand(4, 4, 4, 16).astype(np.float32))
+        gen_local = self._generator(cp=False)
+        variables = gen_local.init(jax.random.PRNGKey(0), code)
+        ref, _ = gen_local.apply(variables, code)
+        prev = current_mesh()
+        set_current_mesh(mesh)
+        try:
+            out, _ = self._generator(cp=True).apply(variables, code)
+        finally:
+            set_current_mesh(prev)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_no_mesh_falls_back_to_local(self):
         # cp flag with no registered mesh: local path, no error.
         code = jnp.asarray(

@@ -106,6 +106,11 @@ def main(argv=None):
                    help="insert SAGAN self-attention at this resolution "
                    "(0 = off; exercises ops/attention in real training — on "
                    "TPU the Pallas flash kernel auto-selects at hw >= 64)")
+    p.add_argument("--attention_cp", type=int, default=0,
+                   help="enable attention_context_parallel in the model "
+                   "config (512px stretch recipe; on a single chip the "
+                   "registered size-1 mesh degenerates to the local flash "
+                   "path — tested equal)")
     p.add_argument("--spectral_norm", type=int, default=0,
                    help="spectral norm on every conv/fc in G AND D (the "
                    "reference's 512px stretch config, "
@@ -291,6 +296,7 @@ def main(argv=None):
             num_domains=2, dtype="bfloat16",
             do_self_attention=args.self_attention_hw > 0,
             self_attention_hw=args.self_attention_hw or 64,
+            attention_context_parallel=bool(args.attention_cp),
             spectral_norm=bool(args.spectral_norm),
             spectral_norm_in_non_discriminator=bool(args.spectral_norm),
         ),
