@@ -86,6 +86,11 @@ def main(argv=None):
                    "resolution with a lighter budget below)")
     p.add_argument("--n", type=int, default=600, help="dataset size per domain")
     p.add_argument("--eval_n", type=int, default=128, help="held-out eval pairs")
+    p.add_argument("--pool_n", type=int, default=256,
+                   help="real-pool size for FID stats / SWD reference (each "
+                   "eval process uploads pool_n images at the stage "
+                   "resolution — at 512px fp32 that is 3 MB/image through "
+                   "a ~50 MB/s tunnel; cap it for stretch-resolution runs)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--save_every", type=int, default=750)
     p.add_argument("--rounds_per_scan", type=int, default=25)
@@ -404,7 +409,7 @@ def main(argv=None):
         sources_dev = jnp.asarray(load("a", args.n, args.n + args.eval_n, res))
         targets_true_dev = jnp.asarray(
             load("b", args.n, args.n + args.eval_n, res))
-        targets_pool_dev = jnp.asarray(load("b", 0, min(args.n, 256), res))
+        targets_pool_dev = jnp.asarray(load("b", 0, min(args.n, args.pool_n), res))
         real_stats = activation_statistics(feats, [targets_pool_dev])
         for step in steps:
             state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)), step)
