@@ -200,7 +200,8 @@ def main(argv=None):
             import glob
             import shutil
 
-            for f in (["quality_curves.json", "quality_curves.md"] +
+            for f in (["quality_curves.json", "quality_curves.md",
+                       "quality_gallery_meta.json"] +
                       [os.path.basename(g) for g in
                        glob.glob(os.path.join(args.work, "quality_gallery*.png"))]):
                 src = os.path.join(args.work, f)
@@ -426,7 +427,8 @@ def main(argv=None):
         json.dump({"rows": rows, "train_wall_sec": train_wall,
                    "summary": summary}, f, indent=1)
 
-    md = ["| stage | step | L1 vs truth | MS-SSIM vs truth | FID (rand-feat) | SWD avg x1e3 |",
+    fid_label = "FID (trained-feat)" if args.fid_classifier else "FID (rand-feat)"
+    md = [f"| stage | step | L1 vs truth | MS-SSIM vs truth | {fid_label} | SWD avg x1e3 |",
           "|---|---|---|---|---|---|"]
     for r in rows:
         md.append(
@@ -467,7 +469,18 @@ def main(argv=None):
     trainer = TwinGANTrainer(tcfg)
     cm = CheckpointManager(
         os.path.join(run_cfg.train_dir, stage_dir_name(res, growing)))
-    state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)))
+    # GAN checkpoints oscillate; the last one is not reliably the best
+    # (observed: a collapsed final ckpt after a healthy stage). Show the
+    # best-by-L1 checkpoint of the stage and record which one it was.
+    gal_step = None
+    stage_rows = [r for r in rows
+                  if r["stage"] == stage_dir_name(res, growing)]
+    if stage_rows:
+        gal_step = min(stage_rows, key=lambda r: r["l1_vs_truth"])["step"]
+    state = cm.restore(trainer.init_state(jax.random.PRNGKey(0)), gal_step)
+    with open(os.path.join(args.work, "quality_gallery_meta.json"), "w") as f:
+        json.dump({"stage": stage_dir_name(res, growing), "step": gal_step,
+                   "criterion": "min l1_vs_truth (None = latest ckpt)"}, f)
     n_gal = min(8, args.eval_n)
     sources = load("a", args.n, args.n + n_gal, res)
     truth = load("b", args.n, args.n + n_gal, res)
