@@ -98,6 +98,12 @@ def main(argv=None):
     p.add_argument("--loss", default="gan",
                    choices=["gan", "dragan", "wgan", "wgan_gp", "hinge"])
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--d_lr", type=float, default=0.0,
+                   help="discriminator learning rate (0 = config default "
+                   "4e-4, the SAGAN TTUR direction). At native 256px the "
+                   "default D:G = 2:1 ratio D-collapsed the growing stage "
+                   "(d-loss pinned ~0, g 40-90, curves in docs/native256 "
+                   "history); 1e-4 rebalances at zero compute cost")
     p.add_argument("--l_cyc", type=float, default=5.0)
     p.add_argument("--batch_top", type=int, default=0,
                    help="batch-size override for the max_hw stages only "
@@ -314,6 +320,9 @@ def main(argv=None):
         l_content_weight=0.1,
         remat=bool(args.remat),
     )
+    if args.d_lr:
+        trainer_cfg = trainer_cfg.replace(
+            discriminator_learning_rate=args.d_lr)
     batch_schedule = {r: args.batch for r in (4, 8, 16, 32, 64, 128, 256, 512)}
     if args.batch_top:
         batch_schedule[args.max_hw] = args.batch_top
