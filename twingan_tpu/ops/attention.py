@@ -83,19 +83,26 @@ def _flash_kernel(f_ref, g_ref, h_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
     @pl.when(ki == num_k - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, 0] + jnp.log(l_scr[:, 0])
+        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(l_scr[:, 0])
 
 
 def _flash_forward(f, g, h, block_q: int, block_k: int):
-    """Returns (o, lse); lse is the fp32 per-row logsumexp [B, N]."""
+    """Returns (o, lse); lse is the fp32 per-row logsumexp [B, N].
+
+    Row-wise tensors (lse, and delta in the backward) travel as [B, 1, N]
+    through the pallas boundary: the TPU lowering requires each block's
+    last two dims to be (divisible by 8, divisible by 128) or equal to the
+    array dims — a [B, N] block of (1, block_q) violates the sublane rule
+    for any B > 1 (found the first time the 512px stretch config compiled
+    the kernel on a real chip, round 4)."""
     b, n, c_bar = f.shape
     c = h.shape[-1]
     grid = (b, n // block_q, n // block_k)
-    return pl.pallas_call(
+    o, lse = pl.pallas_call(
         _flash_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, n, c), h.dtype),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -105,7 +112,7 @@ def _flash_forward(f, g, h, block_q: int, block_k: int):
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi, ki: (bi, 0, qi)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max m
@@ -114,6 +121,7 @@ def _flash_forward(f, g, h, block_q: int, block_k: int):
         ],
         interpret=_interpret(),
     )(f, g, h)
+    return o, lse.reshape(b, n)
 
 
 def _flash_dq_kernel(f_ref, g_ref, h_ref, do_ref, lse_ref, delta_ref,
@@ -132,9 +140,9 @@ def _flash_dq_kernel(f_ref, g_ref, h_ref, do_ref, lse_ref, delta_ref,
     h_blk = h_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)
-    p = jnp.exp(s - lse_ref[0][:, None])
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
     dp = jnp.dot(do, h_blk.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0][:, None])
     df_scr[:] += jnp.dot(ds, g_blk, preferred_element_type=jnp.float32)
 
     @pl.when(ki == num_k - 1)
@@ -159,9 +167,9 @@ def _flash_dkv_kernel(f_ref, g_ref, h_ref, do_ref, lse_ref, delta_ref,
     h_blk = h_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     s = jnp.dot(f, g_blk.T, preferred_element_type=jnp.float32)
-    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
     dp = jnp.dot(do, h_blk.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0][:, None])
     dg_scr[:] += jnp.dot(ds.T, f, preferred_element_type=jnp.float32)
     dh_scr[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
 
@@ -175,11 +183,14 @@ def _flash_backward(f, g, h, do, lse, delta, block_q: int, block_k: int):
     b, n, c_bar = f.shape
     c = h.shape[-1]
     interpret = _interpret()
+    # Row-wise inputs as [B, 1, N] (see _flash_forward on TPU block rules).
+    lse = lse.reshape(b, 1, n)
+    delta = delta.reshape(b, 1, n)
     q_spec = pl.BlockSpec((1, block_q, c_bar), lambda bi, qi, ki: (bi, qi, 0))
     k_spec = pl.BlockSpec((1, block_k, c_bar), lambda bi, qi, ki: (bi, ki, 0))
     v_spec = pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0))
     do_spec = pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0))
-    row_spec = pl.BlockSpec((1, block_q), lambda bi, qi, ki: (bi, qi))
+    row_spec = pl.BlockSpec((1, 1, block_q), lambda bi, qi, ki: (bi, 0, qi))
     df = pl.pallas_call(
         _flash_dq_kernel,
         out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
@@ -195,7 +206,7 @@ def _flash_backward(f, g, h, do, lse, delta, block_q: int, block_k: int):
     k_spec2 = pl.BlockSpec((1, block_k, c_bar), lambda bi, ki, qi: (bi, ki, 0))
     v_spec2 = pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0))
     do_spec2 = pl.BlockSpec((1, block_q, c), lambda bi, ki, qi: (bi, qi, 0))
-    row_spec2 = pl.BlockSpec((1, block_q), lambda bi, ki, qi: (bi, qi))
+    row_spec2 = pl.BlockSpec((1, 1, block_q), lambda bi, ki, qi: (bi, 0, qi))
     dg, dh = pl.pallas_call(
         _flash_dkv_kernel,
         out_shape=(
