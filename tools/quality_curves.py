@@ -199,9 +199,17 @@ def main(argv=None):
             ev = [sys.executable, os.path.abspath(__file__), *base,
                   "--_worker", "--eval_only", "--incremental"]
             log_f = open(args.train_log, "ab") if args.train_log else None
-            subprocess.run(ev, stdout=log_f, stderr=subprocess.STDOUT)
+            ev_rc = subprocess.run(
+                ev, stdout=log_f, stderr=subprocess.STDOUT).returncode
             if log_f:
                 log_f.close()
+            if ev_rc != 0:
+                # A crashed eval (OOM, wedged tunnel) leaves stale files in
+                # --work; copying them would present pre-crash artifacts as
+                # this stage's evidence (advisor round-4 finding).
+                print(f"[bank] eval subprocess rc={ev_rc}; skipping bank",
+                      flush=True)
+                return
             os.makedirs(args.bank_dir, exist_ok=True)
             import glob
             import shutil
@@ -243,8 +251,12 @@ def main(argv=None):
                          cks[-1]])
             repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             subprocess.run(["git", "-C", repo, "add", args.bank_dir])
+            # Pathspec-scoped commit: a bare `git commit` would sweep any
+            # unrelated staged changes into the automated banking commit
+            # (advisor round-4 finding).
             subprocess.run(["git", "-C", repo, "commit", "-q", "-m",
-                            f"bank quality-run artifacts: {args.bank_dir}"],
+                            f"bank quality-run artifacts: {args.bank_dir}",
+                            "--", args.bank_dir],
                            stdout=subprocess.DEVNULL)
 
         base = list(argv if argv is not None else sys.argv[1:])
@@ -388,6 +400,7 @@ def main(argv=None):
     curves_path = os.path.join(args.work, "quality_curves.json")
     rows = []
     done = set()
+    n_new = 0
     if args.incremental and os.path.exists(curves_path):
         with open(curves_path) as f:
             prior = json.load(f)
@@ -426,15 +439,30 @@ def main(argv=None):
             m = eval_checkpoint(trainer, state, sources_dev, targets_true_dev,
                                 targets_pool_dev, feats, real_stats)
             rows.append({"stage": stage, "step": step, **m})
+            n_new += 1
             print(f"[{stage} @ {step}] " + " ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
         print(f"[{stage}] eval wall {time.time() - t_stage_eval:.1f}s "
               f"({len(steps)} checkpoints)")
 
-    n_new = len(rows) - len(done)
+    # Deterministic curve order even when incremental appends interleave
+    # stages (advisor round-4 finding): growing (XtoY) precedes stabilize
+    # (Y) at the same resolution, steps ascend within a stage.
+    def row_key(r):
+        s = r["stage"]
+        res = int(s.split("to")[-1])
+        return (res, 0 if "to" in s else 1, r["step"])
+
+    rows.sort(key=row_key)
     with open(os.path.join(args.work, "quality_curves.json"), "w") as f:
         json.dump({"rows": rows, "train_wall_sec": train_wall,
-                   "summary": summary}, f, indent=1)
+                   "summary": summary,
+                   "eval_pools": {"pool_n": min(args.n, args.pool_n),
+                                  "eval_n": args.eval_n,
+                                  "fid_features": ("trained"
+                                                   if args.fid_classifier
+                                                   else "random")}},
+                  f, indent=1)
 
     fid_label = "FID (trained-feat)" if args.fid_classifier else "FID (rand-feat)"
     md = [f"| stage | step | L1 vs truth | MS-SSIM vs truth | {fid_label} | SWD avg x1e3 |",

@@ -99,6 +99,11 @@ def main(argv=None):
         print(f"[watchdog] launch (restart #{restarts}): {' '.join(cmd)}",
               flush=True)
         proc = subprocess.Popen(cmd, start_new_session=True)
+        # Staleness baselines at THIS launch, not the log's absolute mtime:
+        # after an outage longer than hard_stall_sec, a freshly relaunched
+        # payload must get its full first-compile budget before the old log's
+        # age can count against it (advisor round-4 medium finding).
+        launch_time = time.time()
         stalled_since = 0.0
         while True:
             time.sleep(args.recheck_sec)
@@ -109,7 +114,7 @@ def main(argv=None):
                     return 0
                 print(f"[watchdog] payload exited rc={rc}", flush=True)
                 break  # restart (bounded below)
-            stale = time.time() - log_mtime(args.log)
+            stale = time.time() - max(log_mtime(args.log), launch_time)
             if stale < args.stall_sec:
                 stalled_since = 0.0
                 continue
