@@ -14,8 +14,10 @@ re-design sharing one conv-stack vocabulary:
 - mobilenet_v1                         (depthwise separable stack)
 
 get_network_fn(name, num_classes) mirrors nets_factory: returns a callable
-module with .default_image_size. Inception/NASNet variants are tracked for a
-later round and raise a clear NotImplementedError from the factory.
+module with .default_image_size. Inception v1-v4 / inception-resnet-v2 live
+in models/inception.py and NASNet mobile/large (with drop-path + aux head)
+in models/nasnet.py; both register into this factory, so every reference
+nets_factory name resolves (PLANNED is empty).
 """
 
 from __future__ import annotations
