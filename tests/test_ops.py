@@ -352,3 +352,23 @@ class TestShardedAttention:
         )(f, g, h)
         for a, b_ in zip(ref_grads, sh_grads):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-5)
+
+
+def test_swd_chunked_matches_one_jit_protocol():
+    """The protocol-scale chunked SWD (ops/swd.py) must agree with the
+    one-jit reference path within sampling noise: same pyramid, patch and
+    normalization math, independent random patch draws (reference protocol
+    image_generation.py:867-941 at swd_num_images=8192 forces chunking)."""
+    from twingan_tpu.ops.swd import (
+        sliced_wasserstein_distance, sliced_wasserstein_distance_chunked,
+    )
+
+    rng = np.random.RandomState(0)
+    real = rng.rand(64, 32, 32, 3).astype(np.float32)
+    fake = np.clip(real + rng.rand(64, 32, 32, 3) * 0.3, 0, 1).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    full = np.asarray(sliced_wasserstein_distance(key, jnp.asarray(real), jnp.asarray(fake)))
+    chunked = sliced_wasserstein_distance_chunked(key, real, fake, chunk=16)
+    assert full.shape == chunked.shape == (2, 2)
+    # Same metric, different patch sampling: agree to ~15% relative.
+    np.testing.assert_allclose(chunked, full, rtol=0.15)

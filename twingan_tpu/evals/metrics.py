@@ -63,9 +63,16 @@ def swd_eval(
     res = real.shape[1]
     if res < 16:
         return None  # 'Not doing swd on small images.'
-    scores = np.asarray(
-        ops.sliced_wasserstein_distance(key, jnp.asarray(real), jnp.asarray(fake))
-    ) * 1e3
+    if real.nbytes > 512 * 1024 * 1024:
+        # Protocol scale (reference swd_num_images=8192): the one-jit path
+        # would hold both sets + pyramids + all repeats in HBM at once.
+        from twingan_tpu.ops.swd import sliced_wasserstein_distance_chunked
+
+        scores = sliced_wasserstein_distance_chunked(key, real, fake) * 1e3
+    else:
+        scores = np.asarray(
+            ops.sliced_wasserstein_distance(key, jnp.asarray(real), jnp.asarray(fake))
+        ) * 1e3
     resolutions = []
     r = res
     while r >= 16:

@@ -145,3 +145,102 @@ def sliced_wasserstein_distance(
         d_fake = _sliced_distance(k_proj_rf, r_desc, f_desc, random_projection_dim, random_sampling_count)
         out.append(jnp.stack([d_real, d_fake]))
     return jnp.stack(out)
+
+
+# --------------------------------------------------------------------------- #
+# Protocol-scale chunked path (reference image_generation.py:867-941 runs the
+# SWD protocol at swd_num_images=8192). The one-jit function above holds both
+# full image sets, their pyramids and all sampling repeats live at once —
+# ~6.4 GB/set of inputs alone at 8192x256px, past a v5e's HBM. This path
+# streams images through descriptor extraction in bounded chunks and runs the
+# projection/sort per level per repeat, keeping device residency to one
+# level's descriptor set (~1.2 GB at protocol scale).
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("patches_per_image", "min_res"))
+def _chunk_descriptors(key, chunk, patches_per_image: int, min_res: int):
+    """Raw (unnormalized) [B, P, 7, 7, C] patch descriptors per pyramid
+    level for one image chunk. Normalization is deferred: the PGGAN
+    protocol normalizes by the WHOLE set's per-channel moments."""
+    return [
+        _extract_patches(jax.random.fold_in(key, i), lvl, patches_per_image)
+        for i, lvl in enumerate(laplacian_pyramid(chunk, min_res))
+    ]
+
+
+@jax.jit
+def _projected_sorted(key, desc):
+    """Project a [N, D] descriptor set onto 128 random unit directions and
+    sort along N (one sampling repeat; fold the repeat index into `key`)."""
+    dim = desc.shape[-1]
+    dirs = jax.random.normal(key, (dim, 128), jnp.float32)
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=0, keepdims=True) + 1e-12)
+    return jnp.sort(desc @ dirs, axis=0)
+
+
+def sliced_wasserstein_distance_chunked(
+    key: jax.Array,
+    real: "np.ndarray",
+    fake: "np.ndarray",
+    patches_per_image: int = 128,
+    random_sampling_count: int = 4,
+    min_res: int = 16,
+    chunk: int = 256,
+) -> "np.ndarray":
+    """Same contract as sliced_wasserstein_distance ([num_levels, 2] scores)
+    for sets too large to hold on device; host-side numpy in, numpy out.
+
+    Device residency is bounded by max(one image chunk + its pyramid, one
+    level's descriptors + one repeat's projections); everything else
+    accumulates in host RAM as float32 numpy.
+    """
+    assert real.shape == fake.shape, (real.shape, fake.shape)
+    n = real.shape[0]
+    per_set_levels = {0: [], 1: []}
+    for set_i, images in enumerate((real, fake)):
+        kset = jax.random.fold_in(key, set_i)
+        for lo in range(0, n, chunk):
+            part = jnp.asarray(images[lo : lo + chunk], jnp.float32)
+            levels = _chunk_descriptors(
+                jax.random.fold_in(kset, lo), part, patches_per_image, min_res
+            )
+            for li, lvl in enumerate(levels):
+                if len(per_set_levels[set_i]) <= li:
+                    per_set_levels[set_i].append([])
+                per_set_levels[set_i][li].append(np.asarray(lvl, np.float32))
+
+    out = []
+    for li, (r_parts, f_parts) in enumerate(
+        zip(per_set_levels[0], per_set_levels[1])
+    ):
+        # Whole-set normalization (finalize_descriptors), then flatten.
+        descs = []
+        for parts in (r_parts, f_parts):
+            p = np.concatenate(parts)  # [N, P, 7, 7, C]
+            mean = p.mean(axis=(0, 1, 2, 3), keepdims=True)
+            std = p.std(axis=(0, 1, 2, 3), keepdims=True) + 1e-8
+            descs.append(
+                ((p - mean) / std).reshape(-1, PATCH_SIZE * PATCH_SIZE * p.shape[-1])
+            )
+        r_desc, f_desc = descs
+        half = len(r_desc) // 2
+        # Upload each descriptor set once per level and reuse across
+        # sampling repeats (the axon tunnel moves ~50 MB/s and pins every
+        # payload; re-uploading ~600 MB per repeat would quadruple both).
+        r_dev = jnp.asarray(r_desc)
+        f_dev = jnp.asarray(f_desc)
+        d_real = d_fake = 0.0
+        for rep in range(random_sampling_count):
+            k_rr, k_rf = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(key, 1000 + li), rep)
+            )
+            ra = _projected_sorted(k_rr, r_dev[:half])
+            rb = _projected_sorted(k_rr, r_dev[half : 2 * half])
+            d_real += float(jnp.mean(jnp.abs(ra - rb)))
+            pa = _projected_sorted(k_rf, r_dev)
+            pb = _projected_sorted(k_rf, f_dev)
+            d_fake += float(jnp.mean(jnp.abs(pa - pb)))
+        del r_dev, f_dev
+        out.append([d_real / random_sampling_count, d_fake / random_sampling_count])
+    return np.asarray(out, np.float32)
