@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--rounds_per_scan", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--isolate_stages", type=int, default=1)
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (cpu smoke; the JAX_PLATFORMS "
+                   "env var alone is ignored under axon)")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
@@ -62,6 +65,10 @@ def main(argv=None):
                 raise SystemExit(rc)
 
     t0 = time.time()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     rec_h = os.path.join(args.work, "rec_human")
     rec_a = os.path.join(args.work, "rec_anime")
     from twingan_tpu.data.converters import convert_image_folder

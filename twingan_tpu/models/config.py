@@ -79,6 +79,13 @@ class PGGANConfig:
     # Compute dtype for activations (params always fp32).
     dtype: str = "float32"
 
+    # W8A8 int8 serving path (ops/quant.py): "" = off, "calib" = fp
+    # forward that records per-conv input abs-max into the `quant`
+    # collection (run a few batches with mutable=["quant"]), "int8" =
+    # quantized convs using the calibrated scales. Inference-only; no
+    # reference counterpart (the reference serves fp32 frozen graphs).
+    quantized_inference: str = ""
+
     def __post_init__(self):
         if self.norm_type not in NORM_TYPES:
             raise ValueError(f"unknown norm_type {self.norm_type!r}")
@@ -89,6 +96,10 @@ class PGGANConfig:
         if self.fused_scale_impl not in ("dilated", "parity"):
             raise ValueError(
                 f"unknown fused_scale_impl {self.fused_scale_impl!r}"
+            )
+        if self.quantized_inference not in ("", "calib", "int8"):
+            raise ValueError(
+                f"unknown quantized_inference {self.quantized_inference!r}"
             )
 
     @property

@@ -36,6 +36,7 @@ from twingan_tpu import ops
 from twingan_tpu.models.config import PGGANConfig
 from twingan_tpu.ops import fused_scale
 from twingan_tpu.ops import norms as norms_ops
+from twingan_tpu.ops import quant as quant_ops
 
 
 @dataclasses.dataclass
@@ -84,11 +85,17 @@ class EqConv(nn.Module):
     dtype: Any = jnp.float32
     scale_mode: Optional[str] = None  # None | 'up'
     fused_impl: str = "dilated"
+    # W8A8 int8 inference (ops/quant.py): "" = off, "calib" = fp forward +
+    # record input abs-max into the `quant` collection (mutable pass),
+    # "int8" = quantized conv using the calibrated scales.
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, aux: Optional[jax.Array] = None) -> jax.Array:
         if self.scale_mode not in (None, "up"):
             raise ValueError(f"unknown scale_mode {self.scale_mode!r}")
+        if self.quantize not in ("", "calib", "int8"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}")
         if self.scale_mode is None:
             assert aux is None, "aux input requires scale_mode='up'"
         else:
@@ -112,6 +119,24 @@ class EqConv(nn.Module):
             if update:
                 u.value = new_u
             kernel = kernel_n
+        if self.quantize:
+            # Declare the calibration state in every quantize mode so init
+            # builds the same variable tree for calib and int8 configs.
+            a_max = self.variable(
+                "quant", "a_max", lambda: jnp.zeros((2,), jnp.float32))
+            if self.quantize == "int8" and not self.is_initializing():
+                return self._int8_forward(x, aux, kernel, a_max.value)
+            if (self.quantize == "calib"
+                    and self.is_mutable_collection("quant")
+                    and not self.is_initializing()):
+                cur = jnp.stack([
+                    jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    (jnp.max(jnp.abs(aux)).astype(jnp.float32)
+                     if aux is not None else jnp.asarray(0.0, jnp.float32)),
+                ])
+                a_max.value = jnp.maximum(a_max.value, cur)
+            # calib records scales on the side and falls through to the
+            # exact fp path below.
         x = x.astype(self.dtype)
         if self.equalized_lr:
             # Equalized-lr scale uses the TOTAL fan-in (incl. aux channels),
@@ -140,6 +165,47 @@ class EqConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
+        return y
+
+    def _int8_forward(
+        self, x: jax.Array, aux: Optional[jax.Array], kernel: jax.Array,
+        a_max: jax.Array,
+    ) -> jax.Array:
+        """W8A8 conv (ops/quant.py): static calibrated activation scale,
+        per-out-channel weight scales, int32 accumulation. The quantize of
+        x has constant coefficients, so XLA fuses it into the producer's
+        epilogue — each large tensor crosses HBM once, in int8."""
+        in_ch = x.shape[-1] + (aux.shape[-1] if aux is not None else 0)
+        if self.equalized_lr:
+            # Fold the eq-lr input scale into the fp32 master kernel:
+            # conv(s*x, W) == conv(x, s*W), so the calibrated scale applies
+            # to x exactly as recorded.
+            kernel = kernel * ops.equalized_lr_scale(in_ch, self.kernel_size)
+        dt = self.dtype
+        s_x = quant_ops.act_scale(a_max[0])
+        xq = quant_ops.quantize(x, s_x)
+        if self.scale_mode == "up":
+            cx = x.shape[-1]
+            wq, s_w = quant_ops.weight_quant(
+                fused_scale.up2_conv_kernel(kernel[:, :, :cx, :]))
+            y = quant_ops.conv_i8(
+                xq, wq, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2)
+            ).astype(dt) * (s_x * s_w).astype(dt)
+            if aux is not None:
+                s_a = quant_ops.act_scale(a_max[1])
+                aq = quant_ops.quantize(aux, s_a)
+                wq2, s_w2 = quant_ops.weight_quant(kernel[:, :, cx:, :])
+                y = y + quant_ops.conv_i8(aq, wq2).astype(dt) * (
+                    s_a * s_w2).astype(dt)
+        else:
+            wq, s_w = quant_ops.weight_quant(kernel)
+            y = quant_ops.conv_i8(
+                xq, wq, (self.strides, self.strides), self.padding
+            ).astype(dt) * (s_x * s_w).astype(dt)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
         return y
 
 
@@ -411,6 +477,7 @@ class ConvBlock(nn.Module):
             dtype=_dtype_of(cfg),
             scale_mode=self.scale_mode,
             fused_impl=cfg.fused_scale_impl,
+            quantize=cfg.quantized_inference,
             name="conv",
         )(x, aux)
         if norm_kind != "none":
