@@ -43,11 +43,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from twingan_tpu import ops
+    from twingan_tpu.infer.quantize import calibrate
     from twingan_tpu.infer.translate import ImageInferer
-    from twingan_tpu.train.state import apply_model
-    from twingan_tpu.train.twingan_trainer import (
-        DOMAIN_S, DOMAIN_T, ENC, GEN, TwinGANTrainer,
-    )
 
     inferer = ImageInferer(args.model_path)
     trainer, state = inferer.trainer, inferer.state
@@ -80,32 +77,11 @@ def main(argv=None):
     # fp reference output.
     out_fp = trainer.translate(state, srcs, "s2t").astype(jnp.float32)
 
-    # Calibrate: same module graph with quantize='calib', quant mutable —
-    # flax creates the `quant` variables on first mutable apply, so a
+    # Calibrate via the shared serving helper (infer/quantize.py): flax
+    # creates the `quant` variables on the first mutable apply, so a
     # checkpoint saved without them calibrates in place.
-    params = state.params
-    if state.gen_ema_params is not None:
-        params = {**params, **state.gen_ema_params}
-    mcfg = trainer.cfg.model
-    cal = TwinGANTrainer(trainer.cfg.replace(
-        model=mcfg.replace(quantized_inference="calib")))
-    ms = dict(state.model_state)
-    bs = args.n // max(1, args.calib_batches)
-    for i in range(args.calib_batches):
-        batch = srcs[i * bs:(i + 1) * bs]
-        (code, skips), upd_e = cal.enc.apply(
-            {"params": params[ENC], **ms[ENC]}, batch, domain=DOMAIN_S,
-            train=False, mutable=["quant"])
-        ms[ENC] = {**ms[ENC], **upd_e}
-        _, upd_g = cal.gen.apply(
-            {"params": params[GEN], **ms[GEN]}, code, domain=DOMAIN_T,
-            unet_skips=skips if trainer.cfg.use_unet else None,
-            train=False, mutable=["quant"])
-        ms[GEN] = {**ms[GEN], **upd_g}
-
-    q8 = TwinGANTrainer(trainer.cfg.replace(
-        model=mcfg.replace(quantized_inference="int8")))
-    state8 = state.replace(model_state=ms)
+    q8, state8 = calibrate(trainer, state, srcs, "s2t",
+                           calib_batches=args.calib_batches)
     out_q8 = q8.translate(state8, srcs, "s2t").astype(jnp.float32)
 
     c_fp = jnp.clip(out_fp, 0.0, 1.0)
@@ -115,8 +91,10 @@ def main(argv=None):
         "hw": hw,
         "n": args.n,
         "l1_int8_vs_fp": float(jnp.mean(jnp.abs(c_q8 - c_fp))),
-        "msssim_int8_vs_fp": float(jnp.mean(
-            ops.msssim(c_q8, c_fp, max_val=1.0))),
+        # 5-level MS-SSIM box-downsamples 16x: guard small stages
+        # (run_eval.py msssim mode has the same floor).
+        "msssim_int8_vs_fp": (float(jnp.mean(
+            ops.msssim(c_q8, c_fp, max_val=1.0))) if hw >= 16 else None),
         "psnr_int8_vs_fp_db": float(
             -10.0 * jnp.log10(jnp.mean((c_q8 - c_fp) ** 2) + 1e-12)),
     }

@@ -38,7 +38,8 @@ from twingan_tpu.utils.image_io import imread_rgb, imsave_float
 class ImageInferer:
     """Loads a trained stage and translates images (reference ImageInferer)."""
 
-    def __init__(self, model_path: str, image_hw: int = 0, direction: str = "s2t"):
+    def __init__(self, model_path: str, image_hw: int = 0, direction: str = "s2t",
+                 quantize: bool = False):
         stage_dir = model_path
         if not os.path.exists(os.path.join(stage_dir, "config.json")):
             stage_dir = find_latest_stage_dir(model_path)
@@ -54,6 +55,10 @@ class ImageInferer:
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {stage_dir}")
         self.state = restored
+        # W8A8 int8 serving (infer/quantize.py): scales self-calibrate on
+        # the FIRST translated batch (live traffic is the representative
+        # distribution a server has), then every batch serves int8.
+        self._quant_pending = bool(quantize)
 
         # trainer.translate is already jitted (static trainer/direction);
         # an extra closure-jit would bake every param into a SECOND
@@ -72,6 +77,12 @@ class ImageInferer:
 
     def infer_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
         batch = np.stack([self.preprocess(im) for im in images])
+        if self._quant_pending:
+            from twingan_tpu.infer.quantize import calibrate
+
+            self.trainer, self.state = calibrate(
+                self.trainer, self.state, jnp.asarray(batch), self.direction)
+            self._quant_pending = False
         out = self._translate(jnp.asarray(batch))
         return np.asarray(out.astype(jnp.float32))
 
@@ -100,9 +111,13 @@ def main(argv=None) -> None:
     p.add_argument("--direction", default="s2t", choices=["s2t", "t2s"],
                    help="s2t == custom_generated_t_style_source")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--quantize", action="store_true",
+                   help="serve the W8A8 int8 conv path (ops/quant.py); "
+                   "scales self-calibrate on the first batch")
     args = p.parse_args(argv)
 
-    inferer = ImageInferer(args.model_path, args.image_hw, args.direction)
+    inferer = ImageInferer(args.model_path, args.image_hw, args.direction,
+                           quantize=args.quantize)
     paths = list(_iter_images(args.input_image_path))
     out_is_dir = os.path.isdir(args.input_image_path) or len(paths) > 1
     if out_is_dir:

@@ -37,10 +37,12 @@ class MockTwinGANClient:
 class LocalTwinGANClient:
     """Runs the translation in-process on the TPU."""
 
-    def __init__(self, model_path: str, image_hw: int = 0, direction: str = "s2t"):
+    def __init__(self, model_path: str, image_hw: int = 0, direction: str = "s2t",
+                 quantize: bool = False):
         from twingan_tpu.infer.translate import ImageInferer
 
-        self.inferer = ImageInferer(model_path, image_hw, direction)
+        self.inferer = ImageInferer(model_path, image_hw, direction,
+                                    quantize=quantize)
         self.image_hw = self.inferer.image_hw
 
     def do_inference(self, image: np.ndarray) -> np.ndarray:

@@ -253,7 +253,9 @@ def build_service(args) -> TranslationService:
     elif args.serving_url:
         client = RemoteTwinGANClient(args.serving_url, image_hw=args.image_hw or 256)
     else:
-        local = LocalTwinGANClient(args.model_path, args.image_hw, args.direction)
+        local = LocalTwinGANClient(args.model_path, args.image_hw,
+                                   args.direction,
+                                   quantize=getattr(args, "quantize", False))
         client = BatchingLocalClient(local.inferer, max_batch=args.serve_batch) \
             if args.serve_batch > 1 else local
     waifu2x = Waifu2xClient(args.waifu2x_url) if args.waifu2x_url else None
@@ -290,6 +292,9 @@ def main(argv=None):
                    help="write output PNGs on the request thread before "
                         "answering (default: deferred to a writer thread; "
                         "the GET side polls for late files)")
+    p.add_argument("--quantize", action="store_true",
+                   help="serve the W8A8 int8 conv path (ops/quant.py); "
+                   "scales self-calibrate on the first request batch")
     p.add_argument("--debug", action="store_true", help="mock model (no checkpoint needed)")
     args = p.parse_args(argv)
     if not args.debug and not args.serving_url and not args.model_path:
