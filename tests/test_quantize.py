@@ -137,3 +137,44 @@ class TestModelQuantize:
     def test_bad_mode_rejected(self):
         with pytest.raises(ValueError):
             PGGANConfig(resolution=8, quantized_inference="fp4")
+
+
+class TestQuantizedInferer:
+    def test_inferer_self_calibrates_and_serves_int8(self, tmp_path):
+        """ImageInferer(quantize=True): first batch calibrates, output
+        stays close to the fp inferer (the serving wiring end-to-end)."""
+        from twingan_tpu.infer.translate import ImageInferer
+        from twingan_tpu.runner.checkpoint import (
+            CheckpointManager, save_config_snapshot,
+        )
+        from twingan_tpu.train.optimizers import OptimizerConfig
+        from twingan_tpu.train.twingan_trainer import (
+            TwinGANConfig, TwinGANTrainer,
+        )
+
+        stage_dir = str(tmp_path / "8")
+        cfg = TwinGANConfig(
+            model=PGGANConfig(resolution=8, max_channels=16, num_domains=2),
+            batch_size=4, opt=OptimizerConfig(learning_rate=1e-3))
+        trainer = TwinGANTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "source": jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32)),
+            "target": jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32)),
+        }
+        state, _ = trainer.g_step(state, batch, jax.random.PRNGKey(1))
+        save_config_snapshot(stage_dir, {"run": {}, "trainer": cfg})
+        CheckpointManager(stage_dir).save(int(state.step), state)
+
+        imgs = [(rng.rand(8, 8, 3) * 255).astype(np.uint8) for _ in range(2)]
+        out_fp = ImageInferer(stage_dir).infer_batch(imgs)
+        q = ImageInferer(stage_dir, quantize=True)
+        out_q8 = q.infer_batch(imgs)
+        assert not q._quant_pending  # calibrated on the first batch
+        assert q.trainer.cfg.model.quantized_inference == "int8"
+        l1 = float(np.mean(np.abs(out_q8 - out_fp)))
+        assert l1 < 0.05, l1
+        # Second batch reuses the calibrated scales (no re-calibration).
+        out_q8b = q.infer_batch(imgs)
+        np.testing.assert_allclose(out_q8b, out_q8, atol=1e-6)
