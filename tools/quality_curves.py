@@ -64,11 +64,24 @@ def eval_checkpoint(trainer, state, sources_dev, targets_true_dev,
     )
     if res >= 16:
         # Reference SWD table (fake column averaged), computed on device.
-        scores = np.asarray(
-            ops.sliced_wasserstein_distance(
-                jax.random.PRNGKey(0), targets_pool_dev[: len(out)], out
-            )
-        ) * 1e3
+        if res >= 512:
+            # The one-jit SWD graph at 512px fails the axon terminal's AOT
+            # compile helper (HTTP 500, observed on the round-5 VM; the
+            # same graph compiled on the round-4 VM) — the per-level
+            # chunked path compiles fine and is sampling-equivalent
+            # (ops/swd.py, verified on chip).
+            from twingan_tpu.ops.swd import sliced_wasserstein_distance_chunked
+
+            scores = np.asarray(sliced_wasserstein_distance_chunked(
+                jax.random.PRNGKey(0), np.asarray(targets_pool_dev[: len(out)]),
+                np.asarray(out), chunk=64,
+            )) * 1e3
+        else:
+            scores = np.asarray(
+                ops.sliced_wasserstein_distance(
+                    jax.random.PRNGKey(0), targets_pool_dev[: len(out)], out
+                )
+            ) * 1e3
         m["swd_avg_x1e3"] = float(np.mean(scores[:, 1]))
     return m
 
